@@ -1,0 +1,48 @@
+package graft
+
+import graft.analysis.{Analyzer, Token}
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("golden token tables (FIXTURES.md §2)") {
+    assert(Analyzer.analyze("The Quick-Brown FOX").toSeq ==
+      Seq(Token("quick", 2), Token("brown", 1), Token("fox", 1)))
+    // "stop" is not one of the 33 stopwords, so it is emitted too
+    assert(Analyzer.analyze("don't stop").toSeq ==
+      Seq(Token("don't", 1), Token("stop", 1)))
+    assert(Analyzer.analyze("3.14 IPv6 a b").toSeq ==
+      Seq(Token("3.14", 1), Token("ipv6", 1), Token("b", 2)))
+    val long = "x" * 300 + " ok"
+    assert(Analyzer.analyze(long).toSeq == Seq(Token("ok", 2)))
+    assert(Analyzer.analyze("").isEmpty)
+    assert(Analyzer.analyze("the and of to").isEmpty)
+  }
+
+  test("joiners: apostrophe/period join, others split; trailing joiner excluded") {
+    assert(Analyzer.terms("foo.bar baz").toSeq == Seq("foo.bar", "baz"))
+    assert(Analyzer.terms("end. next").toSeq == Seq("end", "next"))
+    assert(Analyzer.terms("foo-bar").toSeq == Seq("foo", "bar"))
+    assert(Analyzer.terms("a_b c'd'e 1.2.3").toSeq == Seq("a_b", "c'd'e", "1.2.3"))
+    assert(Analyzer.terms("it's").toSeq == Seq("it's"))
+    assert(Analyzer.terms("O'Neil").toSeq == Seq("o'neil"))
+  }
+
+  test("termFreqs counts only emitted tokens (norm length contract)") {
+    val (tf, len) = Analyzer.termFreqs("the cat and the cat sat on a MAT " + ("y" * 300))
+    assert(tf == scala.collection.mutable.HashMap("cat" -> 2, "sat" -> 1, "mat" -> 1))
+    assert(len == 4)
+  }
+
+  test("tokenizer matches the documented RE2 regex on random ASCII text") {
+    val re = """[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*""".r
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ019_'.,-!? \t\n"
+    for (_ <- 1 to 500) {
+      val s = Array.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val viaRegex = re.findAllIn(s.toLowerCase).toSeq
+        .filter(t => t.length <= Analyzer.MaxTokenLength && !Analyzer.Stopwords.contains(t))
+      assert(Analyzer.terms(s).toSeq == viaRegex, s"input=[$s]")
+    }
+  }
+}
