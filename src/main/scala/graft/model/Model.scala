@@ -1,0 +1,42 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Input row shape fixed by the task's input hint: one conversation turn. */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** A partial posting run produced by one build task (the DWPT-flush analog,
+  * /root/reference/src/Lucene.Net/Index/DocumentsWriterPerThread.cs semantics):
+  * all postings of one term within one doc-range partition, doc-sorted,
+  * compressed. Runs from different partitions cover disjoint doc ranges, so the
+  * global merge is a pure concatenate-and-reblock
+  * (SegmentMerger semantics, /root/reference/src/Lucene.Net/Index/SegmentMerger.cs:108-162).
+  */
+final case class Run(
+    term: String,
+    first_doc: Long,
+    last_doc: Long,
+    cnt: Int,
+    sum_tf: Long,
+    max_tf: Int,
+    max_nb: Int,
+    doc_bytes: Array[Byte], // ForCodec-packed gaps (cnt-1 values)
+    tf_bytes: Array[Byte],  // ForCodec-packed tfs (cnt values)
+    norm_bytes: Array[Byte] // raw norm byte per posting
+)
+
+/** Doc-norms sidecar row: emitted-token count and its lossy norm byte. */
+final case class NormRow(doc_id: Long, len: Int, norm: Byte)
+
+final case class TermDictRow(term: String, term_id: Long, df: Long, ttf: Long)
+
+/** Collection-level statistics
+  * (/root/reference/src/Lucene.Net/Search/CollectionStatistics.cs:27-78).
+  */
+final case class CollectionStats(max_doc: Long, doc_count: Long, sum_ttf: Long, sum_df: Long)

@@ -1,0 +1,65 @@
+package graft.oracle
+
+import graft.analysis.Analyzer
+import graft.codec.SmallFloat
+import graft.query.Query
+import graft.score.Bm25
+import scala.collection.mutable
+
+/** In-memory exact BM25 searcher over raw (doc_id, text) pairs — the
+  * dual-implementation oracle (CheckHits analog,
+  * /root/reference/src/Lucene.Net.TestFramework/Search/CheckHits.cs:40).
+  * Shares the Bm25 kernel and Analyzer with the distributed engine, so the
+  * engine must be rank- and score-bit-identical, stronger than the
+  * reference's 1e-3 tolerance.
+  */
+final class BruteForce(docs: Seq[(Long, String)]) {
+
+  private val analyzed: Seq[(Long, mutable.HashMap[String, Int], Int)] =
+    docs.map { case (id, t) => val (tf, len) = Analyzer.termFreqs(t); (id, tf, len) }
+
+  val maxDoc: Long = docs.size.toLong
+  val sumTtf: Long = analyzed.map(_._3.toLong).sum
+  private val df: Map[String, Long] =
+    analyzed.flatMap(_._2.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+  /** Dense term ids by ascending term — same contract as the index build. */
+  val termIds: Map[String, Long] = df.keys.toSeq.sorted.zipWithIndex
+    .map { case (t, i) => t -> i.toLong }.toMap
+
+  def search(q: Query, k: Int): Seq[(Long, Float)] = q match {
+    case Query.Term(t, boost) => run(Query.Bool(should = Seq(t)), k, boost)
+    case b: Query.Bool        => run(b, k, 1.0f)
+  }
+
+  private def run(b: Query.Bool, k: Int, boost: Float): Seq[(Long, Float)] = {
+    val must = b.must.distinct
+    val should = b.should.distinct.filterNot(must.contains)
+    val mustNot = b.mustNot.distinct.toSet
+    if (must.exists(t => !df.contains(t))) return Nil
+    val pos = (must ++ should).filter(df.contains)
+    if (pos.isEmpty) return Nil
+    val mustSet = must.toSet
+    val weights: Seq[(String, Bm25.TermWeight)] = pos
+      .sortBy(t => termIds(t)) // canonical ascending-term_id clause order
+      .map(t => t -> Bm25.termWeight(termIds(t), df(t), maxDoc, sumTtf, boost))
+    val out = analyzed.flatMap { case (id, tf, len) =>
+      if (mustNot.exists(tf.contains)) None
+      else {
+        val nb = SmallFloat.encodeNorm(len)
+        var mustSeen = 0
+        var shouldSeen = 0
+        var score = 0.0f
+        weights.foreach { case (t, w) =>
+          tf.get(t).foreach { f =>
+            if (mustSet.contains(t)) mustSeen += 1 else shouldSeen += 1
+            score += Bm25.score(w.weightValue, f.toFloat, w.cache, nb)
+          }
+        }
+        val ok = mustSeen == mustSet.count(df.contains) && mustSeen == must.size &&
+          shouldSeen >= b.minShouldMatch && (mustSeen + shouldSeen) > 0
+        if (ok) Some((id, score)) else None
+      }
+    }
+    out.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+}

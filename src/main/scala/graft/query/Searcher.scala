@@ -1,0 +1,143 @@
+package graft.query
+
+import graft.codec.{PostingBlock, PostingCodec}
+import graft.model.{CollectionStats, TermDictRow}
+import graft.score.Bm25
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-k BM25 search over a built index directory — the read path
+  * (IndexSearcher.Search semantics, SURVEY.md §3.1) as one declarative
+  * DataFrame plan per query:
+  *
+  *   postings pruned by term_id (Parquet row-group min/max act as the term
+  *   index) -> decode + score (shared float32 Bm25 kernel) -> boolean combine
+  *   in a typed group (clause scores summed in ascending term_id order,
+  *   the documented canonical order) -> orderBy(score desc, doc_id asc)
+  *   limit k, which Catalyst plans as TakeOrderedAndProject — structurally
+  *   the reference's per-leaf heaps + TopDocs.Merge with the HitQueue
+  *   tie-break (score desc, then smaller docID;
+  *   /root/reference/src/Lucene.Net/Search/HitQueue.cs:88-105).
+  */
+final class Searcher(val spark: SparkSession, indexDir: String) extends Serializable {
+  import spark.implicits._
+
+  val stats: CollectionStats =
+    spark.read.parquet(s"$indexDir/stats").as[CollectionStats].head()
+
+  private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  private def termdictDf: DataFrame = spark.read.parquet(s"$indexDir/termdict")
+
+  /** Driver-side term lookup — the TermContext resolution analog
+    * (/root/reference/src/Lucene.Net/Search/TermQuery.cs:101-123): one tiny
+    * pushdown-pruned scan for just the query's terms.
+    */
+  def lookup(terms: Seq[String]): Map[String, TermDictRow] =
+    if (terms.isEmpty) Map.empty
+    else termdictDf
+      .filter(col("term").isin(terms.distinct: _*))
+      .as[TermDictRow].collect()
+      .map(t => t.term -> t).toMap
+
+  /** Expand a term-dictionary predicate to concrete terms (MultiTermQuery
+    * rewrite). `pred` is a Column over the `term` column.
+    */
+  def expand(pred: org.apache.spark.sql.Column, maxTerms: Int = Query.MaxClauseCount): Seq[String] = {
+    val ts = termdictDf.filter(pred).select("term").as[String]
+      .orderBy("term").limit(maxTerms + 1).collect().toSeq
+    require(ts.size <= maxTerms, s"rewrite expanded past $maxTerms terms")
+    ts
+  }
+
+  def search(q: Query, k: Int): DataFrame = q match {
+    case Query.Term(t, boost) => search(Query.Bool(should = Seq(t)), k, boost)
+    case b: Query.Bool        => search(b, k, 1.0f)
+  }
+
+  /** Per-doc scored hits for the positive clauses + the boolean combine.
+    * Returns (doc_id: Long, score: Float) top-k.
+    */
+  private def search(b: Query.Bool, k: Int, boost: Float): DataFrame = {
+    val must = b.must.distinct
+    val should = b.should.distinct.filterNot(must.contains)
+    val mustNot = b.mustNot.distinct
+    val dict = lookup(must ++ should ++ mustNot)
+    // A MUST term absent from the index -> no results (conjunction semantics).
+    if (must.exists(t => !dict.contains(t)) || (must ++ should).forall(t => !dict.contains(t)))
+      return emptyResult
+    val mm = b.minShouldMatch
+
+    val posTerms = (must ++ should).filter(dict.contains)
+    val notTerms = mustNot.filter(dict.contains)
+    val weights: Map[Long, Bm25.TermWeight] = posTerms.map { t =>
+      val d = dict(t)
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, stats.max_doc, stats.sum_ttf, boost)
+    }.toMap
+    val mustIds = must.flatMap(dict.get).map(_.term_id).toSet
+    val shouldIds = should.flatMap(dict.get).map(_.term_id).toSet
+    val notIds = notTerms.map(dict(_).term_id).toSet
+    val allIds = (weights.keySet ++ notIds).toSeq
+
+    val bw = spark.sparkContext.broadcast(weights)
+    val bMust = spark.sparkContext.broadcast(mustIds)
+    val bNot = spark.sparkContext.broadcast(notIds)
+
+    val hits = scoredHits(allIds, bw)
+
+    val combined =
+      if (posTerms.size == 1 && notIds.isEmpty && mm <= 1) {
+        hits.map(h => (h._1, h._3)) // single positive term: no grouping needed
+      } else {
+        val nMust = mustIds.size
+        hits.groupByKey(_._1).mapGroups { (docId, it) =>
+          val arr = it.toArray.sortBy(_._2) // ascending term_id (canonical order)
+          var mustSeen = 0
+          var shouldSeen = 0
+          var excluded = false
+          var score = 0.0f
+          var i = 0
+          while (i < arr.length) {
+            val (_, tid, s) = arr(i)
+            if (bNot.value.contains(tid)) excluded = true
+            else {
+              if (bMust.value.contains(tid)) mustSeen += 1 else shouldSeen += 1
+              score += s
+            }
+            i += 1
+          }
+          val ok = !excluded && mustSeen == nMust && shouldSeen >= mm &&
+            (mustSeen + shouldSeen) > 0
+          if (ok) (docId, score) else (docId, Float.NaN)
+        }.filter(r => !r._2.isNaN)
+      }
+
+    combined.toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Decode + score the postings blocks of the given terms.
+    * Emits (doc_id, term_id, score); excluded (mustNot) terms score 0.
+    */
+  private def scoredHits(termIds: Seq[Long],
+                         bw: org.apache.spark.broadcast.Broadcast[Map[Long, Bm25.TermWeight]])
+      : org.apache.spark.sql.Dataset[(Long, Long, Float)] = {
+    postings
+      .filter(col("term_id").isin(termIds: _*)) // pushed to Parquet row groups
+      .as[PostingBlock]
+      .flatMap { b =>
+        val (docs, tfs, norms) = PostingCodec.decode(b)
+        bw.value.get(b.term_id) match {
+          case Some(w) =>
+            docs.indices.iterator.map { i =>
+              (docs(i), b.term_id, Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, norms(i)))
+            }
+          case None => // mustNot term: presence only
+            docs.iterator.map(d => (d, b.term_id, 0.0f))
+        }
+      }
+  }
+
+  private def emptyResult: DataFrame =
+    spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+}

@@ -1,0 +1,72 @@
+package graft.verify
+
+import graft.codec.{PostingBlock, PostingCodec}
+import graft.model.CollectionStats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Whole-index invariant checker — the CheckIndex analog
+  * (/root/reference/src/Lucene.Net/Index/CheckIndex.cs:828-839,921,1626):
+  * posting order/gap invariants, df and ttf cross-checks against the term
+  * dictionary, norms row count vs maxDoc, dense ascending term_ids.
+  * Returns violations (empty = index is consistent).
+  */
+object IndexVerifier {
+
+  def verify(spark: SparkSession, indexDir: String): Seq[String] = {
+    import spark.implicits._
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+
+    val stats = spark.read.parquet(s"$indexDir/stats").as[CollectionStats].head()
+    val termdict = spark.read.parquet(s"$indexDir/termdict").cache()
+    val postings = spark.read.parquet(s"$indexDir/postings").as[PostingBlock]
+    val norms = spark.read.parquet(s"$indexDir/norms")
+
+    // Per-block decode invariants + per-term aggregates from postings.
+    val perBlock = postings.map { b =>
+      val (docs, tfs, nbs) = PostingCodec.decode(b) // throws on non-increasing
+      var i = 1
+      while (i < docs.length) { require(docs(i) > docs(i - 1)); i += 1 }
+      require(docs.head == b.first_doc && docs.last == b.last_doc, s"block bounds ${b.term_id}")
+      require(tfs.max == b.max_tf, s"max_tf mismatch term ${b.term_id}")
+      require(nbs.map(_ & 0xff).max == b.max_nb, s"max_nb mismatch term ${b.term_id}")
+      require(tfs.forall(_ >= 1), s"tf < 1 in term ${b.term_id}")
+      (b.term_id, b.cnt.toLong, tfs.map(_.toLong).sum, b.first_doc, b.last_doc)
+    }.toDF("term_id", "cnt", "sum_tf", "first_doc", "last_doc")
+
+    val perTerm = perBlock.groupBy("term_id")
+      .agg(sum("cnt").as("df2"), sum("sum_tf").as("ttf2"))
+    val joined = perTerm.join(termdict, "term_id")
+      .filter(col("df2") =!= col("df") || col("ttf2") =!= col("ttf"))
+    val badTerms = joined.count()
+    if (badTerms > 0) errs += s"$badTerms terms with df/ttf mismatch between postings and termdict"
+
+    // Blocks of one term must not overlap: check via window-free self-ordering.
+    val overlaps = perBlock
+      .withColumn("prev_last", lag("last_doc", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term_id").orderBy("first_doc")))
+      .filter(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+      .count()
+    if (overlaps > 0) errs += s"$overlaps overlapping blocks"
+
+    val normCount = norms.count()
+    if (normCount != stats.max_doc) errs += s"norms rows $normCount != maxDoc ${stats.max_doc}"
+    val sumLen = norms.agg(coalesce(sum("len"), lit(0L))).as[Long].head()
+    if (sumLen != stats.sum_ttf) errs += s"sum(len) $sumLen != sumTtf ${stats.sum_ttf}"
+
+    val nTerms = termdict.count()
+    val idStats = termdict.agg(min("term_id"), max("term_id"), countDistinct("term_id"))
+      .as[(Long, Long, Long)].head()
+    if (nTerms > 0 && (idStats._1 != 0L || idStats._2 != nTerms - 1 || idStats._3 != nTerms))
+      errs += s"term_ids not dense: $idStats over $nTerms terms"
+    val misordered = termdict.as[graft.model.TermDictRow].collect().sortBy(_.term_id)
+      .sliding(2).count { case Array(a, b) => a.term >= b.term; case _ => false }
+    if (misordered > 0) errs += s"$misordered term_id pairs out of term order"
+
+    val sumDf = termdict.agg(coalesce(sum("df"), lit(0L))).as[Long].head()
+    if (sumDf != stats.sum_df) errs += s"sum(df) $sumDf != stats.sum_df ${stats.sum_df}"
+
+    termdict.unpersist()
+    errs.toSeq
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.fixtures.Transcripts
+import graft.oracle.BruteForce
+import graft.query.{Query, Searcher}
+import graft.verify.IndexVerifier
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** North-star slice: build the index over the synthesized transcripts corpus,
+  * run the reference query classes, and require rank- AND score-bit-identical
+  * results vs the in-memory brute-force oracle (FIXTURES.md §4).
+  */
+class IndexEndToEndSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val numConvs = 200L
+  private lazy val turns = Transcripts.local(numConvs)
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    IndexBuilder.buildFromTurns(Transcripts.dataset(spark, numConvs), dir)
+    dir
+  }
+  private lazy val searcher = new Searcher(spark, indexDir)
+  private lazy val oracle: BruteForce = {
+    // doc_id = rank of (conv_id, turn_idx) in sorted order — same contract
+    val sorted = turns.sortBy(t => (t.conv_id, t.turn_idx))
+    new BruteForce(sorted.zipWithIndex.map { case (t, i) => (i.toLong, t.text) })
+  }
+
+  private def check(q: Query, k: Int = 10): Unit = {
+    val got = searcher.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val want = oracle.search(q, k)
+    assert(got == want, s"query $q\n got: $got\nwant: $want")
+  }
+
+  test("index invariants hold (CheckIndex analog)") {
+    assert(IndexVerifier.verify(spark, indexDir).isEmpty)
+  }
+
+  test("docmap matches the stable (conv_id, turn_idx) ordering") {
+    val docmap = spark.read.parquet(s"$indexDir/docmap")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    val want = turns.sortBy(t => (t.conv_id, t.turn_idx)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.conv_id, t.turn_idx) }
+    assert(docmap.toSeq == want)
+  }
+
+  test("single term queries: hot, mid, rare, absent, stopword") {
+    check(Query.Term("the"))        // stopword: empty
+    check(Query.Term("time"))       // hot head-of-zipf real word
+    check(Query.Term("index"))
+    check(Query.Term("w001234"))    // mid/rare tail word
+    check(Query.Term("w029999"))    // likely df<=1
+    check(Query.Term("zzzznothere"))
+  }
+
+  test("boolean SHOULD disjunctions (2..5 terms)") {
+    check(Query.Bool(should = Seq("time", "person")))
+    check(Query.Bool(should = Seq("spark", "index", "search")))
+    check(Query.Bool(should = Seq("year", "way", "day", "thing", "man")))
+    check(Query.Bool(should = Seq("time", "zzzznothere")))
+  }
+
+  test("boolean MUST conjunctions") {
+    check(Query.Bool(must = Seq("time", "person")))
+    check(Query.Bool(must = Seq("spark", "query")))
+    check(Query.Bool(must = Seq("time", "zzzznothere"))) // absent MUST -> empty
+  }
+
+  test("MUST_NOT and mixed boolean") {
+    check(Query.Bool(should = Seq("time"), mustNot = Seq("person")))
+    check(Query.Bool(must = Seq("index"), should = Seq("search", "merge"), mustNot = Seq("error")))
+  }
+
+  test("minimumNumberShouldMatch") {
+    check(Query.Bool(should = Seq("time", "person", "year"), minShouldMatch = 2))
+    check(Query.Bool(should = Seq("spark", "index", "merge", "sort"), minShouldMatch = 3))
+  }
+
+  test("parsed query syntax end-to-end") {
+    check(Query.parse("time person"))
+    check(Query.parse("+index search -error"))
+    check(Query.parse("The Quick-Brown index")) // analyzer applies to queries too
+  }
+
+  test("k larger than hit count and k=1") {
+    check(Query.Term("w001234"), k = 10000)
+    check(Query.Bool(should = Seq("time", "person")), k = 1)
+  }
+
+  test("resume: killed-after-runs rebuild skips completed stages, identical index") {
+    val dir = Files.createTempDirectory("graft_resume").toString
+    // simulate a crash mid-build: build fully, then knock out the merge stage
+    IndexBuilder.build(
+      StableMini.docs(spark, 50L), dir)
+    // Semantic identity: the decoded (term_id, doc, tf, norm) postings must be
+    // identical; block layout may differ with range-sampler state, exactly as
+    // the reference's merge order may differ without changing the index.
+    def canon(path: String): Seq[(Long, Long, Int, Byte)] = {
+      import spark.implicits._
+      spark.read.parquet(path).as[graft.codec.PostingBlock]
+        .flatMap { b =>
+          val (d, t, n) = graft.codec.PostingCodec.decode(b)
+          d.indices.map(i => (b.term_id, d(i), t(i), n(i)))
+        }.collect().sortBy(x => (x._1, x._2)).toSeq
+    }
+    val postingsBefore = canon(s"$dir/postings")
+    // delete the postings output + its manifest record -> resume must redo S4 only
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest/postings.json"), false)
+    IndexBuilder.build(StableMini.docs(spark, 50L), dir)
+    val postingsAfter = canon(s"$dir/postings")
+    assert(postingsBefore == postingsAfter)
+    val m = new graft.build.ManifestStore(dir, spark)
+    assert(m.committedStages().toSet == Set("runs", "norms", "termdict", "postings", "stats"))
+  }
+}
+
+object StableMini {
+  def docs(spark: org.apache.spark.sql.SparkSession, n: Long) = {
+    import spark.implicits._
+    val turns = Transcripts.local(n).sortBy(t => (t.conv_id, t.turn_idx))
+    turns.zipWithIndex.map { case (t, i) => (i.toLong, t.text) }
+      .toDF("doc_id", "text")
+  }
+}
