@@ -1,0 +1,461 @@
+package graft.gate
+
+import graft.analysis.Analyzer
+import graft.build.IndexBuilder
+import graft.codec.{PostingBlock, PostingCodec}
+import graft.model.{CollectionStats, TermDictRow}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-facing correctness gate: every operator exposed as a
+  * `(SparkSession, sfDir) => DataFrame` over `/root/testdata/sf*` tables, with
+  * an exactly-mirrored DuckDB oracle SQL (see [[GateOracle]]).
+  *
+  * The full-text queries run against a real index built by [[IndexBuilder]]
+  * over `documents.parquet` (StandardAnalyzer-equivalent chain; on this corpus
+  * — space-separated lowercase ASCII words — the chain reduces to
+  * split-minus-stopwords, which is what makes a SQL oracle possible).
+  *
+  * Score parity contract: scores are computed in double precision from the
+  * integer index data (tf, unsigned norm byte, df, maxDoc, sumTtf) with the
+  * SAME operation order as the oracle SQL, then quantized to
+  * `floor(score * 10000 + 0.5)` as BIGINT, so no raw float ever reaches the
+  * driver's hash compare. (The float32 Lucene-exact kernel in [[graft.score.Bm25]]
+  * is exercised by the ScalaTest oracle suite instead, where we control both
+  * sides bit-exactly.)
+  */
+object Gate {
+
+  /** Bump when the on-disk index layout changes (invalidates cached builds). */
+  final val Version = "v1"
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per JVM per sfDir; resumable across JVMs via the manifest)
+    * the index over documents.parquet.
+    */
+  def indexDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(sfDir, {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-$name"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      IndexBuilder.build(docs, dir)
+      dir
+    })
+
+  // ---------- double-precision parity scoring (mirrors GateOracle SQL) ------
+
+  /** NORM_TABLE value for an unsigned norm byte, in double:
+    * f = (1 + ((nb+384) % 4)/4) * 2^((nb+384)/4 - 127); nv = 1/(f*f).
+    */
+  def normValue(nb: Int): Double = {
+    val v = nb + 384
+    val f = (1.0 + (v % 4) * 0.25) * math.pow(2.0, (v / 4 - 127).toDouble)
+    1.0 / (f * f)
+  }
+
+  /** idf2 = ln(1 + (n - df + 0.5)/(df + 0.5)) * 2.2 — the per-term weight. */
+  def idf2(df: Long, n: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 2.2
+
+  /** score = idf2 * tf / (tf + 1.2*(0.25 + 0.75*nv/avgdl)) — op order matches
+    * the oracle SQL token-for-token.
+    */
+  def hitScore(tf: Int, nb: Int, idf2v: Double, avgdl: Double): Double =
+    idf2v * tf / (tf + 1.2 * (0.25 + 0.75 * normValue(nb) / avgdl))
+
+  /** Quantized score column: floor(score*10000 + 0.5) as BIGINT. */
+  def q(c: Column): Column = floor(c * lit(10000) + lit(0.5)).cast("long")
+
+  private def stats(spark: SparkSession, idx: String): CollectionStats = {
+    import spark.implicits._
+    spark.read.parquet(s"$idx/stats").as[CollectionStats].head()
+  }
+
+  private def termdict(spark: SparkSession, idx: String): DataFrame =
+    spark.read.parquet(s"$idx/termdict")
+
+  /** Per-(doc, term) double scores for the given concrete terms, decoded from
+    * the postings table (Parquet row-group pruning on term_id does the term
+    * seek). Returns (doc_id LONG, term STRING, s DOUBLE).
+    */
+  def hits(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val st = stats(spark, idx)
+    val n = st.max_doc
+    val avgdl = st.sum_ttf.toDouble / n
+    val dict = termdict(spark, idx)
+      .filter(col("term").isin(terms.distinct: _*))
+      .as[TermDictRow].collect()
+    if (dict.isEmpty) return emptyHits(spark)
+    val weights: Map[Long, (String, Double)] =
+      dict.map(d => d.term_id -> (d.term, idf2(d.df, n))).toMap
+    val bw = spark.sparkContext.broadcast(weights)
+    spark.read.parquet(s"$idx/postings")
+      .filter(col("term_id").isin(weights.keySet.toSeq: _*))
+      .as[PostingBlock]
+      .flatMap { b =>
+        val (docs, tfs, nbs) = PostingCodec.decode(b)
+        val (term, w) = bw.value(b.term_id)
+        docs.indices.iterator.map { i =>
+          (docs(i), term, hitScore(tfs(i), nbs(i) & 0xff, w, avgdl))
+        }
+      }
+      .toDF("doc_id", "term", "s")
+  }
+
+  private def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, String, Double)].toDF("doc_id", "term", "s")
+  }
+
+  /** Expand a term-dictionary predicate to concrete terms (MultiTermQuery
+    * rewrite: prefix/wildcard/fuzzy/range).
+    */
+  def expand(spark: SparkSession, sfDir: String, pred: Column): Seq[String] = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    termdict(spark, idx).filter(pred).select("term").as[String].collect().toSeq.sorted
+  }
+
+  /** Sum-of-clauses top-k: the TermQuery / BooleanQuery-SHOULD read path. */
+  def topkSum(spark: SparkSession, sfDir: String, terms: Seq[String], k: Int): DataFrame =
+    rank(hits(spark, sfDir, terms)
+      .groupBy("doc_id").agg(sum("s").as("sd")), k)
+
+  private def rank(perDoc: DataFrame, k: Int): DataFrame =
+    perDoc.select(col("doc_id"), q(col("sd")).as("score_q"))
+      .orderBy(desc("score_q"), asc("doc_id"))
+      .limit(k)
+
+  def docsTable(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // --------------------------- the query map -------------------------------
+
+  /** All driver-facing queries. Names map 1:1 to [[GateOracle.sql]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- index validation (termdict / norms / stats / postings content) ----
+    "ft_termdict" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      termdict(s, idx)
+        .select(col("term"), col("df").cast("long"), col("ttf").cast("long"))
+        .orderBy("term")
+    }),
+    "ft_norms" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      s.read.parquet(s"$idx/norms")
+        .select((col("norm").cast("int").bitwiseAND(lit(255))).cast("long").as("nb"))
+        .groupBy("nb").agg(count(lit(1)).as("cnt"))
+        .orderBy("nb")
+    }),
+    "ft_stats" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      s.read.parquet(s"$idx/stats")
+        .select(col("max_doc"), col("doc_count"), col("sum_ttf"), col("sum_df"))
+    }),
+    "ft_postings_term" -> ((s, d) => {
+      import s.implicits._
+      val idx = indexDir(s, d)
+      val tid = termdict(s, idx).filter(col("term") === "query")
+        .select("term_id").as[Long].head()
+      s.read.parquet(s"$idx/postings")
+        .filter(col("term_id") === tid)
+        .as[PostingBlock]
+        .flatMap { b =>
+          val (docs, tfs, _) = PostingCodec.decode(b)
+          docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
+        }
+        .toDF("doc_id", "tf")
+        .orderBy("doc_id")
+    }),
+    // --- search: term / boolean algebra / dismax / phrase ------------------
+    "ft_q_term" -> ((s, d) => topkSum(s, d, Seq("vector"), 10)),
+    "ft_q_term_rare" -> ((s, d) => topkSum(s, d, Seq("dup"), 10)),
+    "ft_q_or" -> ((s, d) => topkSum(s, d, Seq("spark", "window"), 10)),
+    "ft_q_and" -> ((s, d) =>
+      rank(hits(s, d, Seq("hash", "merge"))
+        .groupBy("doc_id").agg(sum("s").as("sd"), count(lit(1)).as("nt"))
+        .filter(col("nt") === 2), 10)),
+    "ft_q_not" -> ((s, d) => {
+      val pos = hits(s, d, Seq("table"))
+      val neg = hits(s, d, Seq("slow")).select("doc_id").distinct()
+      rank(pos.join(neg, Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(sum("s").as("sd")), 10)
+    }),
+    "ft_q_mm" -> ((s, d) =>
+      rank(hits(s, d, Seq("spark", "stream", "sort"))
+        .groupBy("doc_id").agg(sum("s").as("sd"), count(lit(1)).as("nt"))
+        .filter(col("nt") >= 2), 10)),
+    "ft_q_dismax" -> ((s, d) =>
+      rank(hits(s, d, Seq("spark", "window"))
+        .groupBy("doc_id")
+        .agg((max("s") + lit(0.1) * (sum("s") - max("s"))).as("sd")), 10)),
+    "ft_q_phrase" -> ((s, d) => phraseQuery(s, d, "fast", "table", 10)),
+    // --- MultiTermQuery rewrites: prefix / wildcard / fuzzy / range --------
+    "ft_q_prefix" -> ((s, d) =>
+      topkSum(s, d, expand(s, d, col("term").like("s%")), 10)),
+    "ft_q_wildcard" -> ((s, d) =>
+      topkSum(s, d, expand(s, d, col("term").like("w_ndow")), 10)),
+    "ft_q_fuzzy" -> ((s, d) =>
+      topkSum(s, d, expand(s, d, levenshtein(col("term"), lit("soft")) <= 1), 10)),
+    "ft_q_range" -> ((s, d) =>
+      hits(s, d, expand(s, d, col("term").between("batch", "data")))
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("nterms"))
+        .orderBy("doc_id")),
+    "ft_q_absent" -> ((s, d) => topkSum(s, d, Seq("zzz"), 10)),
+    "ft_q_paging" -> ((s, d) => pagingQuery(s, d, "vector", 10)),
+    "ft_count_all" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      s.read.parquet(s"$idx/norms").agg(count(lit(1)).as("cnt"))
+    }),
+    // --- facets / grouping / joins over hits -------------------------------
+    "ft_facet_lang" -> ((s, d) =>
+      hits(s, d, Seq("spark")).select("doc_id")
+        .join(docsTable(s, d), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+    "ft_facet_range" -> ((s, d) =>
+      hits(s, d, Seq("merge")).select("doc_id")
+        .join(docsTable(s, d), "doc_id")
+        .select(when(col("n_chars") < 200, "0-200")
+          .when(col("n_chars") < 300, "200-300")
+          .otherwise("300+").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+    "ft_group_top" -> ((s, d) => {
+      val base = hits(s, d, Seq("data"))
+        .groupBy("doc_id").agg(sum("s").as("sd"))
+        .select(col("doc_id"), q(col("sd")).as("score_q"))
+        .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy("source").orderBy(desc("score_q"), asc("doc_id"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("source", "doc_id", "score_q")
+        .orderBy("source")
+    }),
+    "ft_join" -> ((s, d) => {
+      val srcs = hits(s, d, Seq("dup")).select("doc_id")
+        .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
+        .select("source").distinct()
+      docsTable(s, d).join(srcs, Seq("source"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    }),
+    "ft_block_join" -> ((s, d) =>
+      hits(s, d, Seq("vector"))
+        .groupBy("doc_id").agg(sum("s").as("sd"))
+        .select(col("doc_id"), q(col("sd")).as("score_q"))
+        .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(max("score_q").as("max_q"), count(lit(1)).as("hits"))
+        .orderBy(desc("max_q"), asc("source"))
+        .limit(5)),
+    // --- training-data pipeline ops ---------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      docsTable(s, d)
+        .select(md5(col("text").cast("binary")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("groups"))
+        .orderBy("c")
+        .withColumnRenamed("c", "cnt")),
+    "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+    "text_quality" -> ((s, d) => textQuality(s, d)),
+    "sim_topk" -> ((s, d) => simTopk(s, d, 10)),
+    "sessionize" -> ((s, d) => sessionize(s, d))
+  )
+
+  // ------------------------- multi-step queries ----------------------------
+
+  /** Exact PhraseQuery (slop 0): MUST-conjunction candidates from the index,
+    * phrase frequency re-derived from stored text positions (StopFilter holes
+    * included — positions are raw-token ordinals, matching the reference's
+    * position-increment bookkeeping), BM25 with summed idf and freq = pf.
+    */
+  def phraseQuery(spark: SparkSession, sfDir: String, t1: String, t2: String,
+                  k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val st = stats(spark, idx)
+    val n = st.max_doc
+    val avgdl = st.sum_ttf.toDouble / n
+    val dict = termdict(spark, idx)
+      .filter(col("term").isin(t1, t2)).as[TermDictRow].collect()
+      .map(r => r.term -> r.df).toMap
+    if (!dict.contains(t1) || !dict.contains(t2))
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "score_q")
+    // idf sum in clause order, then * 2.2 — same shape as the oracle SQL.
+    val isum2 =
+      (math.log(1.0 + (n - dict(t1) + 0.5) / (dict(t1) + 0.5)) +
+        math.log(1.0 + (n - dict(t2) + 0.5) / (dict(t2) + 0.5))) * 2.2
+    val cand = hits(spark, sfDir, Seq(t1, t2))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 2)
+      .select("doc_id")
+    val norms = spark.read.parquet(s"$idx/norms")
+      .select(col("doc_id"), (col("norm").cast("int").bitwiseAND(lit(255))).as("nb"))
+    val pf = cand
+      .join(docsTable(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        // raw-token positions: every split token consumes one position
+        val raw = text.split(" ", -1)
+        var c = 0
+        var i = 0
+        while (i < raw.length - 1) {
+          if (raw(i) == t1 && raw(i + 1) == t2) c += 1
+          i += 1
+        }
+        (docId, c)
+      }
+      .toDF("doc_id", "pf")
+      .filter(col("pf") > 0)
+    val scored = pf.join(norms, "doc_id")
+      .as[(Long, Int, Int)]
+      .map { case (docId, pfv, nb) => (docId, hitScore(pfv, nb, isum2, avgdl)) }
+      .toDF("doc_id", "sd")
+    rank(scored, k)
+  }
+
+  /** SearchAfter paging: page 2 (ranks 11-20) of a term query — the collector
+    * keeps `(score, doc_id)` of the page-1 tail and filters past it.
+    */
+  def pagingQuery(spark: SparkSession, sfDir: String, term: String, k: Int): DataFrame = {
+    val base = hits(spark, sfDir, Seq(term))
+      .groupBy("doc_id").agg(sum("s").as("sd"))
+      .select(col("doc_id"), q(col("sd")).as("score_q"))
+    val page1 = base.orderBy(desc("score_q"), asc("doc_id")).limit(k).collect()
+    if (page1.length < k) return base.filter(lit(false)).select("doc_id", "score_q")
+    val last = page1.last
+    val (ls, ld) = (last.getLong(1), last.getLong(0))
+    base.filter(col("score_q") < ls ||
+        (col("score_q") === ls && col("doc_id") > ld))
+      .orderBy(desc("score_q"), asc("doc_id"))
+      .limit(k)
+      .select("doc_id", "score_q")
+  }
+
+  /** MinHash+LSH near-duplicate pairs over raw 3-token shingles: 8 md5-derived
+    * minhashes, banded 2-per-band, candidate pairs verified with exact Jaccard
+    * >= 0.8. All hash material is md5 hex strings so the oracle SQL computes
+    * the identical candidates.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsTable(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val raw = text.split(" ", -1)
+        (0 until math.max(0, raw.length - 2)).iterator
+          .map(i => (id, raw(i) + " " + raw(i + 1) + " " + raw(i + 2)))
+      }
+      .toDF("doc_id", "s").distinct()
+    val ks = explode(sequence(lit(0), lit(7))).as("k")
+    val mh = sh.select(col("doc_id"), col("s"), ks)
+      .select(col("doc_id"), col("k"),
+        md5(concat(col("k").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
+      .groupBy("doc_id", "k").agg(min("h").as("h"))
+    val bands = mh
+      .withColumn("band", (col("k") / 2).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("k"), col("h")))
+        .getField("h"))).as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+      .withColumn("j", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("d1"), col("d2"), q(col("j")).as("jaccard_q"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Per-doc quality metrics: emitted tokens, distinct terms, raw tokens and
+    * the stop/dropped ratio (quantized).
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = indexDir(spark, sfDir)
+    val lens = spark.read.parquet(s"$idx/norms")
+      .select(col("doc_id"), col("len").cast("long").as("tokens"))
+    val raw = docsTable(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("raw_tokens"))
+    val distinctTerms = {
+      import spark.implicits._
+      spark.read.parquet(s"$idx/postings").as[PostingBlock]
+        .flatMap { b =>
+          val (docs, _, _) = PostingCodec.decode(b)
+          docs.iterator.map(d => (d, b.term_id))
+        }
+        .toDF("doc_id", "term_id").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("distinct_terms"))
+    }
+    lens.join(raw, "doc_id")
+      .join(distinctTerms, Seq("doc_id"), "left")
+      .na.fill(0, Seq("distinct_terms"))
+      .select(col("doc_id"), col("tokens"), col("distinct_terms"), col("raw_tokens"),
+        q((col("raw_tokens") - col("tokens")) * lit(1.0) / col("raw_tokens"))
+          .as("stop_ratio_q"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  /** Brute-force cosine top-k over the embeddings table vs. the vec_id=0
+    * vector (ANN baseline; dot/norms in double with sequential fold).
+    */
+  def simTopk(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val qv: Array[Double] = emb.filter(_._1 == 0L).head()._2.map(_.toDouble)
+    val bq = spark.sparkContext.broadcast(qv)
+    val nq = {
+      var acc = 0.0; var i = 0
+      while (i < qv.length) { acc += qv(i) * qv(i); i += 1 }
+      math.sqrt(acc)
+    }
+    emb.map { case (id, e) =>
+      val v = bq.value
+      var dot = 0.0; var ne = 0.0; var i = 0
+      while (i < e.length) {
+        val x = e(i).toDouble
+        dot += x * v(i)
+        ne += x * x
+        i += 1
+      }
+      (id, dot / (math.sqrt(ne) * nq))
+    }.toDF("vec_id", "cos")
+      .select(col("vec_id"), q(col("cos")).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Sessionization over the events stream table: a new session starts when
+    * the gap to the previous event of the same user exceeds 30 minutes.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is the
+      // identity on wall time and matches DuckDB's epoch_us(ts).
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev.withColumn("gap", col("tus") - lag("tus", 1).over(w))
+      .groupBy("user_id")
+      .agg((lit(1) + sum(when(col("gap") > 1800000000L, 1).otherwise(0)))
+        .cast("long").as("sessions"))
+      .orderBy("user_id")
+  }
+}

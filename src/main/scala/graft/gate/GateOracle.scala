@@ -1,0 +1,260 @@
+package graft.gate
+
+import graft.analysis.Analyzer
+
+/** DuckDB oracle SQL for every [[Gate]] query — token-for-token the same
+  * arithmetic as the engine's double-precision parity path, over the same raw
+  * parquet tables, so the driver's row/schema/hash compare is exact.
+  *
+  * Shared prelude:
+  *  - `tok`  : the analysis chain (split + length<=255 + 33 stopwords — on
+  *             this corpus identical to the StandardAnalyzer chain).
+  *  - `nbt`  : SmallFloat315 norm-byte encode, emulated arithmetically from
+  *             the float32 value of 1/sqrt(len) (2 explicit mantissa bits kept
+  *             by `bits >> 21`, exponent rebased by 384).
+  *  - `nrm`  : norm-byte decode to the NORM_TABLE value.
+  *  - `sc`   : per-(doc, term) BM25 score in double, identical op order to
+  *             [[Gate.hitScore]].
+  */
+object GateOracle {
+
+  private val stop: String =
+    Analyzer.Stopwords.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+
+  /** floor(x*10000 + 0.5) as BIGINT — the shared score quantizer. */
+  private def qz(expr: String): String =
+    s"CAST(floor(($expr) * 10000 + 0.5) AS BIGINT)"
+
+  private val avgdl = "(CAST(st.sttf AS DOUBLE) / st.n)"
+
+  private val prelude: String =
+    s"""WITH splits AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), pos AS (
+       |  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS p FROM splits
+       |), tok AS (
+       |  SELECT doc_id, t AS term FROM pos
+       |  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ($stop)
+       |), lens AS (
+       |  SELECT d.doc_id, coalesce(c.len, 0) AS len
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id) c USING (doc_id)
+       |), nbt AS (
+       |  SELECT doc_id, len,
+       |    CASE WHEN len = 0 THEN 255 ELSE
+       |      CAST((floor(log2(y)) + 127) * 4
+       |           + floor(y / power(2.0, floor(log2(y))) * 4) - 4 - 384 AS BIGINT)
+       |    END AS nb
+       |  FROM (SELECT doc_id, len, CAST(CAST(1.0 / sqrt(len) AS REAL) AS DOUBLE) AS y FROM lens)
+       |), nrm AS (
+       |  SELECT doc_id, len, nb, 1.0 / (f * f) AS nv
+       |  FROM (SELECT doc_id, len, nb,
+       |          (1.0 + ((nb + 384) % 4) * 0.25) * power(2.0, ((nb + 384) // 4) - 127) AS f
+       |        FROM nbt)
+       |), st AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok) AS sttf
+       |), tfs AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+       |), dfs AS (
+       |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tfs GROUP BY term
+       |), sc AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+       |      / (t.tf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl)) AS s
+       |  FROM tfs t JOIN dfs d USING (term) JOIN nrm r USING (doc_id) CROSS JOIN st
+       |)""".stripMargin
+
+  private def topk(where: String, k: Int = 10, having: String = ""): String =
+    s"""$prelude
+       |SELECT doc_id, ${qz("sum(s)")} AS score_q
+       |FROM sc WHERE $where GROUP BY doc_id $having
+       |ORDER BY score_q DESC, doc_id LIMIT $k""".stripMargin
+
+  private def inList(terms: String*): String =
+    terms.map(t => s"'$t'").mkString("term IN (", ", ", ")")
+
+  val sql: Map[String, String] = Map(
+    "ft_termdict" ->
+      s"$prelude SELECT term, df, ttf FROM dfs ORDER BY term",
+    "ft_norms" ->
+      s"$prelude SELECT nb, count(*) AS cnt FROM nbt GROUP BY nb ORDER BY nb",
+    "ft_stats" ->
+      s"""$prelude
+         |SELECT st.n AS max_doc, st.n AS doc_count, st.sttf AS sum_ttf,
+         |       (SELECT CAST(sum(df) AS BIGINT) FROM dfs) AS sum_df
+         |FROM st""".stripMargin,
+    "ft_postings_term" ->
+      s"""$prelude
+         |SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM tfs
+         |WHERE term = 'query' ORDER BY doc_id""".stripMargin,
+    "ft_q_term" -> topk("term = 'vector'"),
+    "ft_q_term_rare" -> topk("term = 'dup'"),
+    "ft_q_or" -> topk(inList("spark", "window")),
+    "ft_q_and" -> topk(inList("hash", "merge"), having = "HAVING count(*) = 2"),
+    "ft_q_not" ->
+      s"""$prelude
+         |SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |FROM sc WHERE term = 'table'
+         |  AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'slow')
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_mm" ->
+      topk(inList("spark", "stream", "sort"), having = "HAVING count(*) >= 2"),
+    "ft_q_dismax" ->
+      s"""$prelude
+         |SELECT doc_id, ${qz("max(s) + 0.1 * (sum(s) - max(s))")} AS score_q
+         |FROM sc WHERE ${inList("spark", "window")}
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_phrase" ->
+      s"""$prelude, ph AS (
+         |  SELECT a.doc_id, count(*) AS pf
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE a.t = 'fast' AND b.t = 'table' GROUP BY a.doc_id
+         |), isum AS (
+         |  SELECT (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'fast')
+         |       + (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'table') AS v
+         |)
+         |SELECT ph.doc_id,
+         |  ${qz(s"isum.v * 2.2 * ph.pf / (ph.pf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl))")} AS score_q
+         |FROM ph JOIN nrm r USING (doc_id) CROSS JOIN isum CROSS JOIN st
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_prefix" -> topk("term LIKE 's%'"),
+    "ft_q_wildcard" -> topk("term LIKE 'w_ndow'"),
+    "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),
+    "ft_q_range" ->
+      s"""$prelude
+         |SELECT doc_id, count(*) AS nterms FROM tfs
+         |WHERE term BETWEEN 'batch' AND 'data'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ft_q_absent" -> topk("term = 'zzz'"),
+    "ft_q_paging" ->
+      s"""$prelude, base AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |)
+         |SELECT doc_id, score_q FROM (
+         |  SELECT doc_id, score_q,
+         |         row_number() OVER (ORDER BY score_q DESC, doc_id) AS rn
+         |  FROM base
+         |) WHERE rn > 10 AND rn <= 20 ORDER BY score_q DESC, doc_id""".stripMargin,
+    "ft_count_all" -> "SELECT count(*) AS cnt FROM documents",
+    "ft_facet_lang" ->
+      s"""$prelude
+         |SELECT d.lang AS lang, count(*) AS cnt
+         |FROM tfs t JOIN documents d USING (doc_id)
+         |WHERE t.term = 'spark' GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "ft_facet_range" ->
+      s"""$prelude
+         |SELECT CASE WHEN d.n_chars < 200 THEN '0-200'
+         |            WHEN d.n_chars < 300 THEN '200-300'
+         |            ELSE '300+' END AS bucket, count(*) AS cnt
+         |FROM tfs t JOIN documents d USING (doc_id)
+         |WHERE t.term = 'merge' GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ft_group_top" ->
+      s"""$prelude, base AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'data' GROUP BY doc_id
+         |)
+         |SELECT source, doc_id, score_q FROM (
+         |  SELECT d.source, b.doc_id, b.score_q,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY b.score_q DESC, b.doc_id) AS rn
+         |  FROM base b JOIN documents d USING (doc_id)
+         |) WHERE rn = 1 ORDER BY source""".stripMargin,
+    "ft_join" ->
+      s"""$prelude
+         |SELECT d2.source AS source, count(*) AS cnt
+         |FROM documents d2
+         |WHERE d2.source IN (
+         |  SELECT DISTINCT d.source FROM tfs t JOIN documents d USING (doc_id)
+         |  WHERE t.term = 'dup')
+         |GROUP BY d2.source ORDER BY source""".stripMargin,
+    "ft_block_join" ->
+      s"""$prelude, base AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |)
+         |SELECT d.source AS source, max(b.score_q) AS max_q, count(*) AS hits
+         |FROM base b JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY max_q DESC, source LIMIT 5""".stripMargin,
+    "dedup_exact" ->
+      """SELECT c AS cnt, count(*) AS groups FROM (
+        |  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY h
+        |) GROUP BY c ORDER BY c""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH splits AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), pos AS (
+         |  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS p FROM splits
+         |), sh AS (
+         |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |), mh AS (
+         |  SELECT doc_id, r.k AS k, min(md5(CAST(r.k AS VARCHAR) || '|' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS k) r
+         |  GROUP BY doc_id, r.k
+         |), bands AS (
+         |  SELECT doc_id, k // 2 AS band, string_agg(h, '' ORDER BY k) AS bv
+         |  FROM mh GROUP BY doc_id, k // 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.d1
+         |  JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+         |  GROUP BY c.d1, c.d2
+         |)
+         |SELECT d1, d2, ${qz("CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)")} AS jaccard_q
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "text_quality" ->
+      s"""$prelude, raws AS (
+         |  SELECT doc_id, CAST(len(l) AS BIGINT) AS raw_tokens FROM splits
+         |), dts AS (
+         |  SELECT doc_id, count(DISTINCT term) AS distinct_terms FROM tok GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, l.len AS tokens, coalesce(dt.distinct_terms, 0) AS distinct_terms,
+         |       r.raw_tokens,
+         |       ${qz("(r.raw_tokens - l.len) * 1.0 / r.raw_tokens")} AS stop_ratio_q
+         |FROM documents d
+         |JOIN lens l USING (doc_id)
+         |JOIN raws r USING (doc_id)
+         |LEFT JOIN dts dt USING (doc_id)
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "sim_topk" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0
+         |), e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), d AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(ev) + 1), i -> ev[i] * qv[i])) AS dot,
+         |    sqrt(list_sum(list_transform(ev, x -> x * x))) AS ne,
+         |    sqrt((SELECT list_sum(list_transform(qv, x -> x * x)) FROM q)) AS nq
+         |  FROM e CROSS JOIN q
+         |)
+         |SELECT vec_id, ${qz("dot / (ne * nq)")} AS cos_q
+         |FROM d ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+    "sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+        |), lagd AS (
+        |  SELECT user_id,
+        |         tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |  FROM ev
+        |)
+        |SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        |FROM lagd GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
