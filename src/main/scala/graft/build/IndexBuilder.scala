@@ -37,6 +37,19 @@ object IndexBuilder {
     */
   val NormsKey = "\u0000norms"
 
+  /** Pseudo-term carrying the per-partition (conv_id, turn_idx) payloads the
+    * docmap is decoded from - emitted in the SAME single pass as the posting
+    * runs, so the docmap/doc-id correspondence is consistent by construction
+    * (no reliance on two queries resampling identical range boundaries).
+    * Payload lives in norm_bytes as DataOutputStream(writeUTF, writeInt)*cnt.
+    */
+  val DocmapKey = "\u0001docmap"
+
+  /** Real terms sort at or above this (the analyzer never emits control
+    * chars); everything below is a pseudo-run.
+    */
+  val PseudoMax = "\u0002"
+
   /** Max postings per run row. Splitting hot-term runs into uniform chunks is
     * what makes the S4 range partitioning balance by posting mass (a Zipf-hot
     * term becomes many equal rows the range partitioner spreads across
@@ -46,31 +59,125 @@ object IndexBuilder {
 
   final case class Options(
       numPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions
-      overwrite: Boolean = false)
+      overwrite: Boolean = false,
+      // Segment granularity for the id-assign + tokenize pass (S0/S1). At
+      // cluster scale this must be DATA-size-driven (a fixed ~docs-per-segment
+      // target), not parallelism-driven: each extra segment re-emits a run row
+      // for every distinct term it contains, so tying segment count to cores
+      // multiplies the run table superlinearly with cluster size. 0 = fall
+      // back to numPartitions.
+      segmentPartitions: Int = 0)
 
-  /** Entry point for the transcripts north star: assigns stable doc_ids by
-    * (conv_id, turn_idx) order, writes `docmap`, then builds the index over
-    * the `text` column.
+  /** Entry point for the transcripts north star: ONE pass over the text.
+    *
+    * The doc-id trick that makes this single-pass (and the key divergence
+    * from a naive two-pass id-assign-then-tokenize): runs are delta-encoded,
+    * so every doc id inside a run shifts by a constant when the run's
+    * partition is offset — the gap cells are shift-invariant. Each task
+    * therefore tokenizes its range-partition with PARTITION-LOCAL doc ids
+    * (0..n_p-1) and tags rows with its pid; the global dense id of a doc is
+    * `offset(pid) + local`, where offsets are the prefix sums of the
+    * per-partition doc counts — recoverable afterwards from the norms
+    * pseudo-runs with one tiny aggregation. Only `first_doc`/`last_doc`
+    * columns are fixed up downstream; no run is re-encoded and the corpus
+    * text is shuffled exactly once.
+    *
+    * `docmap` is decoded from [[DocmapKey]] pseudo-runs emitted in the same
+    * pass, so the docmap/doc-id correspondence never depends on re-running
+    * (and re-sampling) the range shuffle.
     */
   def buildFromTurns(turns: Dataset[Turn], outDir: String,
                      opts: Options = Options()): Unit = {
     val spark = turns.sparkSession
+    import spark.implicits._
     val manifest = new ManifestStore(outDir, spark)
     if (opts.overwrite) manifest.reset()
-    val p = partitions(spark, opts)
+    val segP = if (opts.segmentPartitions > 0) opts.segmentPartitions
+               else partitions(spark, opts)
+    val keys = Seq(col("conv_id"), col("turn_idx"))
+    if (!manifest.isDone("runs")) {
+      val t0 = System.nanoTime()
+      turns.toDF()
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .repartitionByRange(segP, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .as[(String, Int, String)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          buildRunsWithDocmap(pid, it)
+        }
+        .write.mode("overwrite").parquet(s"$outDir/runs")
+      manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
+    }
+    val offsets = runOffsets(spark, outDir)
     if (!manifest.isDone("docmap")) {
       val t0 = System.nanoTime()
-      val withIds = StableIds.attach(
-        turns.toDF(), Seq(col("conv_id"), col("turn_idx")), "doc_id", p)
-      withIds.select("doc_id", "conv_id", "turn_idx")
+      val bOff = spark.sparkContext.broadcast(offsets)
+      spark.read.parquet(s"$outDir/runs").as[Run]
+        .filter(_.term == DocmapKey)
+        .flatMap { r =>
+          val off = bOff.value.getOrElse(r.pid, 0L)
+          decodeDocmapPayload(r).map { case (local, c, t) => (off + local, c, t) }
+        }
+        .toDF("doc_id", "conv_id", "turn_idx")
         .write.mode("overwrite").parquet(s"$outDir/docmap")
-      withIds.select("doc_id", "text")
-        .write.mode("overwrite").parquet(s"$outDir/docs")
-      withIds.unpersist(blocking = false)
       manifest.commit("docmap", -1L, ms(t0), Some(s"$outDir/docmap"))
     }
-    val docs = spark.read.parquet(s"$outDir/docs")
-    build(docs, outDir, opts.copy(overwrite = false))
+    buildFromRuns(outDir, opts.copy(overwrite = false))
+  }
+
+  /** Tokenize one sorted partition, emitting posting runs AND the docmap
+    * pseudo-runs, with partition-local doc ids.
+    */
+  private def buildRunsWithDocmap(pid: Int,
+      it: Iterator[(String, Int, String)]): Iterator[Run] = {
+    val payload = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(payload)
+    var chunkStart = 0L
+    var local = -1L
+    val docmapRuns = new mutable.ArrayBuffer[Run]()
+    def flushDocmap(): Unit = if (local >= chunkStart) {
+      docmapRuns += Run(pid, DocmapKey, chunkStart, local, (local - chunkStart + 1).toInt,
+        0L, 0, 0, Array.emptyByteArray, Array.emptyByteArray, payload.toByteArray)
+      payload.reset()
+      chunkStart = local + 1
+    }
+    val runs = buildRuns(pid, it.map { case (c, t, text) =>
+      local += 1
+      out.writeUTF(c)
+      out.writeInt(t)
+      if (local - chunkStart + 1 >= RunMaxPostings) flushDocmap()
+      (local, text)
+    })
+    // buildRuns drains `it` eagerly before returning its (lazy) run iterator,
+    // so docmapRuns is complete here and run encoding stays streaming.
+    flushDocmap()
+    runs ++ docmapRuns.iterator
+  }
+
+  private def decodeDocmapPayload(r: Run): Iterator[(Long, String, Int)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(r.norm_bytes))
+    (0 until r.cnt).iterator.map { i =>
+      (r.first_doc + i, in.readUTF(), in.readInt())
+    }
+  }
+
+  /** Per-pid doc-id offsets = prefix sums of per-partition doc counts, from
+    * the norms pseudo-runs (one metadata-sized aggregation). Runs written
+    * with global ids carry pid = -1 and get offset 0.
+    */
+  private def runOffsets(spark: SparkSession, outDir: String): Map[Int, Long] = {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$outDir/runs")
+      .filter(col("term") === NormsKey)
+      .groupBy("pid").agg(sum("cnt").as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    counts.map { case (pid, n) =>
+      val off = acc
+      if (pid >= 0) acc += n
+      pid -> (if (pid >= 0) off else 0L)
+    }.toMap
   }
 
   /** Build over any (doc_id: Long, text: String) DataFrame. */
@@ -81,7 +188,7 @@ object IndexBuilder {
     if (opts.overwrite) manifest.reset()
     val p = partitions(spark, opts)
 
-    // ---- S1: per-partition posting runs (DWPT analog) --------------------
+    // ---- S1: per-partition posting runs (DWPT analog); ids already global
     if (!manifest.isDone("runs")) {
       val t0 = System.nanoTime()
       val runs = docsIn
@@ -89,19 +196,33 @@ object IndexBuilder {
         .repartitionByRange(p, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, String)]
-        .mapPartitions(buildRuns)
+        .mapPartitions(buildRuns(-1, _))
       runs.write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
+    buildFromRuns(outDir, opts.copy(overwrite = false))
+  }
+
+  /** S2-S5 over an existing `runs` table (shared by both build entries and
+    * the streaming compactor).
+    */
+  private[graft] def buildFromRuns(outDir: String, opts: Options): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val manifest = new ManifestStore(outDir, spark)
+    val p = partitions(spark, opts)
     val runs = spark.read.parquet(s"$outDir/runs").as[Run]
+    val offsets = runOffsets(spark, outDir)
+    val bOff = spark.sparkContext.broadcast(offsets)
 
     // ---- S2: norms sidecar ----------------------------------------------
     if (!manifest.isDone("norms")) {
       val t0 = System.nanoTime()
       val norms = runs.filter(_.term == NormsKey).flatMap { r =>
+        val off = bOff.value.getOrElse(r.pid, 0L)
         val (docs, lens, _) = decodeRun(r)
         docs.indices.iterator.map { i =>
-          NormRow(docs(i), lens(i), SmallFloat.encodeNorm(lens(i)))
+          NormRow(off + docs(i), lens(i), SmallFloat.encodeNorm(lens(i)))
         }
       }
       norms.write.mode("overwrite").parquet(s"$outDir/norms")
@@ -112,10 +233,11 @@ object IndexBuilder {
     if (!manifest.isDone("termdict")) {
       val t0 = System.nanoTime()
       val termAgg = runs.toDF()
-        .filter(col("term") =!= NormsKey)
+        .filter(col("term") >= PseudoMax)
         .groupBy("term")
         .agg(sum("cnt").as("df"), sum("sum_tf").as("ttf"))
-      val dict = StableIds.attach(termAgg, Seq(col("term")), "term_id", p)
+      val dict = StableIds.attach(termAgg, Seq(col("term")), "term_id",
+        math.max(p / 4, 8))
       dict.select("term", "term_id", "df", "ttf")
         .write.mode("overwrite").parquet(s"$outDir/termdict")
       dict.unpersist(blocking = false)
@@ -126,8 +248,13 @@ object IndexBuilder {
     // ---- S4: global sort-merge into 128-doc blocks (SegmentMerger analog) -
     if (!manifest.isDone("postings")) {
       val t0 = System.nanoTime()
+      val offDf = offsets.toSeq.toDF("pid", "off")
       val keyed = runs.toDF()
-        .filter(col("term") =!= NormsKey)
+        .filter(col("term") >= PseudoMax)
+        .join(broadcast(offDf), Seq("pid"), "left")
+        .withColumn("first_doc", col("first_doc") + coalesce(col("off"), lit(0L)))
+        .withColumn("last_doc", col("last_doc") + coalesce(col("off"), lit(0L)))
+        .drop("off", "pid")
         .join(termdict.select("term", "term_id"), "term")
         .drop("term")
         .repartitionByRange(p, col("term_id"), col("first_doc"))
@@ -169,7 +296,7 @@ object IndexBuilder {
     * TermsHashPerField.cs:31-88): in-memory term hash with growable postings
     * buffers, flushed as compressed runs at partition end.
     */
-  private def buildRuns(it: Iterator[(Long, String)]): Iterator[Run] = {
+  private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)]): Iterator[Run] = {
     final class Acc {
       val docs = new mutable.ArrayBuffer[Long]()
       val tfs = new mutable.ArrayBuffer[Int]()
@@ -191,24 +318,24 @@ object IndexBuilder {
       }
     }
     val termRuns = terms.iterator.flatMap { case (term, acc) =>
-      chunkedRuns(term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray)
+      chunkedRuns(pid, term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray)
     }
     val normsRun =
       if (normDocs.isEmpty) Iterator.empty
-      else chunkedRuns(NormsKey, normDocs.toArray, normLens.toArray,
+      else chunkedRuns(pid, NormsKey, normDocs.toArray, normLens.toArray,
         new Array[Byte](normDocs.length))
     termRuns ++ normsRun
   }
 
-  private def chunkedRuns(term: String, docs: Array[Long], tfs: Array[Int],
+  private def chunkedRuns(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
                           norms: Array[Byte]): Iterator[Run] =
-    if (docs.length <= RunMaxPostings) Iterator.single(encodeRunRow(term, docs, tfs, norms))
+    if (docs.length <= RunMaxPostings) Iterator.single(encodeRunRow(pid, term, docs, tfs, norms))
     else docs.indices.grouped(RunMaxPostings).map { idxs =>
       val (a, b) = (idxs.head, idxs.last + 1)
-      encodeRunRow(term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b))
+      encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b))
     }
 
-  private def encodeRunRow(term: String, docs: Array[Long], tfs: Array[Int],
+  private def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
                            norms: Array[Byte]): Run = {
     val gaps = new Array[Long](docs.length - 1)
     var i = 1
@@ -229,7 +356,7 @@ object IndexBuilder {
       if (nb > maxNb) maxNb = nb
       i += 1
     }
-    Run(term, docs.head, docs.last, docs.length, sumTf, maxTf, maxNb,
+    Run(pid, term, docs.head, docs.last, docs.length, sumTf, maxTf, maxNb,
       ForCodec.pack(gaps), ForCodec.pack(tfs.map(_.toLong)), norms)
   }
 
@@ -268,7 +395,7 @@ object IndexBuilder {
             require(r.first_doc > lastDoc,
               s"overlapping runs for term $tid: ${r.first_doc} <= $lastDoc")
             val (d, t, n) = decodeRun(
-              Run("", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
+              Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
                 r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes))
             docs ++= d
             tfs ++= t

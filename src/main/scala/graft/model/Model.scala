@@ -19,8 +19,9 @@ final case class Turn(
   * (SegmentMerger semantics, /root/reference/src/Lucene.Net/Index/SegmentMerger.cs:108-162).
   */
 final case class Run(
+    pid: Int, // source partition for doc-id offset fixup; -1 = ids already global
     term: String,
-    first_doc: Long,
+    first_doc: Long, // partition-local when pid >= 0 (gaps are shift-invariant)
     last_doc: Long,
     cnt: Int,
     sum_tf: Long,

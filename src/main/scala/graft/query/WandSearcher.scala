@@ -1,0 +1,138 @@
+package graft.query
+
+import graft.codec.{PostingBlock, PostingCodec}
+import graft.model.TermDictRow
+import graft.score.Bm25
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Block-max pruned top-k search — the north rule's "block-max WAND scoring"
+  * realized for a term-range-partitioned columnar postings layout.
+  *
+  * Lucene 4.8 predates WAND (SURVEY.md §4.2); classic BMW
+  * (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max Indexes",
+  * SIGIR 2011) is doc-at-a-time over co-located per-doc posting cursors. A
+  * distributed term-partitioned scan has no cheap doc-at-a-time cursor
+  * alignment, so this kernel uses the rank-safe block-skipping form
+  * (MaxScore-style bound splitting over block-max metadata):
+  *
+  *  1. bootstrap θ — decode the highest-upper-bound blocks of the
+  *     highest-weight (rarest) term and exact-score them; the k-th best
+  *     single-term score is a sound lower bound on the final k-th score
+  *     (other SHOULD clauses only add ≥ 0).
+  *  2. per-term global remainders — rest(i) = Σ_{j≠i} gmax_j where gmax_j is
+  *     term j's global block-max score (one tiny metadata aggregation).
+  *  3. pruned scan — a block b of term i is skipped without decoding iff
+  *     ub_i(b) + rest(i) ≤ θ: every doc in b scores at most that bound, so
+  *     none can enter the top k. Residual blocks decode + float32-score via
+  *     the shared Bm25 kernel; the combine is identical to the exhaustive
+  *     path — hence rank- AND score-identical results (equivalence-tested).
+  *
+  * ub_i(b) = weightValue_i * max_tf / (max_tf + cache_i[max_nb]): score is
+  * monotone ↑tf and ↓cache; max_nb (largest norm byte = shortest doc) gives
+  * the smallest cache value (block-max metadata laid down at build time,
+  * graft.codec.PostingBlock).
+  */
+final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializable {
+  import spark.implicits._
+
+  private val base = new Searcher(spark, indexDir)
+  private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+
+  /** Blocks skipped by the last search (for tests/metrics). */
+  @transient var lastSkipped: Option[LongAccumulator] = None
+  @transient var lastScanned: Option[LongAccumulator] = None
+
+  def search(q: Query, k: Int): DataFrame = q match {
+    case Query.Term(t, boost) =>
+      searchShould(Seq(t), k, boost)
+    case Query.Bool(Nil, should, Nil, mm) if mm <= 1 && should.nonEmpty =>
+      searchShould(should, k, 1.0f)
+    case other =>
+      // MUST / NOT / min-should-match change the bound algebra; those run on
+      // the exhaustive path (same results, no pruning).
+      base.search(other, k)
+  }
+
+  private def ub(w: Bm25.TermWeight, maxTf: Int, maxNb: Int): Float =
+    Bm25.score(w.weightValue, maxTf.toFloat, w.cache, maxNb.toByte)
+
+  private def searchShould(terms: Seq[String], k: Int, boost: Float): DataFrame = {
+    val dict: Map[String, TermDictRow] = base.lookup(terms.distinct)
+    if (dict.isEmpty) return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+    val st = base.stats
+    val weights: Map[Long, Bm25.TermWeight] = dict.values.map { d =>
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, boost)
+    }.toMap
+    val ids = weights.keySet.toSeq
+
+    // ---- per-term global block-max (tiny metadata agg, no block decode) ----
+    val meta = postings
+      .filter(col("term_id").isin(ids: _*))
+      .groupBy("term_id")
+      .agg(max("max_tf").as("mtf"), max("max_nb").as("mnb"))
+      .as[(Long, Int, Int)].collect()
+    val gmax: Map[Long, Float] =
+      meta.map { case (tid, mtf, mnb) => tid -> ub(weights(tid), mtf, mnb) }.toMap
+    val rest: Map[Long, Float] =
+      ids.map(i => i -> ids.filter(_ != i).map(j => gmax.getOrElse(j, 0.0f)).sum).toMap
+
+    // ---- bootstrap θ from the rarest term's best blocks --------------------
+    val lead = weights.values.maxBy(_.weightValue)
+    val nBlocks = math.max(1, k / PostingCodec.BlockSize + 1)
+    val leadBlocks = postings
+      .filter(col("term_id") === lead.termId)
+      .as[PostingBlock]
+      .map(b => (b, ub(lead, b.max_tf, b.max_nb)))
+      .orderBy(desc("_2"))
+      .limit(nBlocks)
+      .collect()
+    val bootScores = leadBlocks.flatMap { case (b, _) =>
+      val (_, tfs, nbs) = PostingCodec.decode(b)
+      tfs.indices.map(i => Bm25.score(lead.weightValue, tfs(i).toFloat, lead.cache, nbs(i)))
+    }.sorted(Ordering[Float].reverse)
+    val theta: Float =
+      if (bootScores.length >= k) bootScores(k - 1) else Float.NegativeInfinity
+
+    // ---- pruned scan + exhaustive-identical combine ------------------------
+    val skipped = spark.sparkContext.longAccumulator("wand.skippedBlocks")
+    val scanned = spark.sparkContext.longAccumulator("wand.scannedBlocks")
+    lastSkipped = Some(skipped)
+    lastScanned = Some(scanned)
+    val bw = spark.sparkContext.broadcast(weights)
+    val bRest = spark.sparkContext.broadcast(rest)
+    val singleTerm = ids.size == 1
+
+    val hits = postings
+      .filter(col("term_id").isin(ids: _*))
+      .as[PostingBlock]
+      .flatMap { b =>
+        val w = bw.value(b.term_id)
+        val bound = Bm25.score(w.weightValue, b.max_tf.toFloat, w.cache, b.max_nb.toByte) +
+          bRest.value(b.term_id)
+        if (bound <= theta) {
+          skipped.add(1)
+          Iterator.empty
+        } else {
+          scanned.add(1)
+          val (docs, tfs, nbs) = PostingCodec.decode(b)
+          docs.indices.iterator.map { i =>
+            (docs(i), b.term_id, Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i)))
+          }
+        }
+      }
+
+    val combined =
+      if (singleTerm) hits.map(h => (h._1, h._3))
+      else hits.groupByKey(_._1).mapGroups { (docId, it) =>
+        // ascending term_id: the canonical float32 clause-sum order
+        val arr = it.toArray.sortBy(_._2)
+        (docId, Bm25.sumClauses(arr.map(_._3)))
+      }
+
+    combined.toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

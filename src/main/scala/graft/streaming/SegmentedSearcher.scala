@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.codec.{PostingBlock, PostingCodec}
+import graft.model.{CollectionStats, TermDictRow}
+import graft.query.Query
+import graft.score.Bm25
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-k search over a segmented (streaming) index snapshot — the MultiReader
+  * / TopDocs.Merge analog (/root/reference/src/Lucene.Net/Search/TopDocs.cs:301):
+  * per-segment postings scans score with GLOBAL collection statistics (df,
+  * maxDoc, sumTtf summed across base + segments, exactly how IndexSearcher
+  * resolves TermContext across leaves,
+  * /root/reference/src/Lucene.Net/Search/TermQuery.cs:50-83), then one global
+  * top-k. Doc ids are globally unique, so (score desc, doc_id asc) subsumes
+  * the cross-shard tie-break.
+  */
+final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Serializable {
+  import spark.implicits._
+
+  private val snap = new SnapshotLog(indexDir, spark).latest()
+    .getOrElse(throw new IllegalStateException(s"no committed snapshot in $indexDir"))
+  private val parts: Seq[String] = snap.base.toSeq ++ snap.segments
+
+  /** Global stats: element-wise sums of the per-segment stats tables. */
+  val stats: CollectionStats = {
+    val per = parts.map(d => spark.read.parquet(s"$d/stats").as[CollectionStats].head())
+    CollectionStats(per.map(_.max_doc).sum, per.map(_.doc_count).sum,
+      per.map(_.sum_ttf).sum, per.map(_.sum_df).sum)
+  }
+
+  /** term -> (global df, per-segment term_ids). */
+  private def lookup(terms: Seq[String]): Map[String, (Long, Seq[(String, Long)])] = {
+    if (terms.isEmpty) return Map.empty
+    parts.flatMap { d =>
+      spark.read.parquet(s"$d/termdict")
+        .filter(col("term").isin(terms.distinct: _*))
+        .as[TermDictRow].collect()
+        .map(r => (r.term, d, r.term_id, r.df))
+    }
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> (rows.map(_._4).sum, rows.map(r => (r._2, r._3)))
+      }
+  }
+
+  def search(q: Query, k: Int): DataFrame = {
+    val b = q match {
+      case Query.Term(t, _) => Query.Bool(should = Seq(t))
+      case bb: Query.Bool   => bb
+    }
+    val must = b.must.distinct
+    val should = b.should.distinct.filterNot(must.contains)
+    val mustNot = b.mustNot.distinct
+    val dict = lookup(must ++ should ++ mustNot)
+    if (must.exists(!dict.contains(_)) || (must ++ should).forall(!dict.contains(_)))
+      return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+    val posTerms = (must ++ should).filter(dict.contains).sorted
+    val notTerms = mustNot.filter(dict.contains)
+    // clause index by sorted term order = the canonical float32 sum order
+    val clauseIdx: Map[String, Int] = posTerms.zipWithIndex.toMap
+    val weights: Map[String, Bm25.TermWeight] = posTerms.map { t =>
+      t -> Bm25.termWeight(clauseIdx(t).toLong, dict(t)._1, stats.max_doc, stats.sum_ttf)
+    }.toMap
+    val mustSet = must.toSet
+    val mm = b.minShouldMatch
+
+    val perSegment: Seq[Dataset[(Long, Int, Float, Boolean, Boolean)]] =
+      parts.map { d =>
+        // this segment's term_id -> (clause, weight, isMust, isNot)
+        val tidMap: Map[Long, (Int, Bm25.TermWeight, Boolean, Boolean)] =
+          (posTerms ++ notTerms).flatMap { t =>
+            dict(t)._2.collect { case (`d`, tid) =>
+              tid -> (clauseIdx.getOrElse(t, -1), weights.getOrElse(t, null),
+                mustSet.contains(t), notTerms.contains(t))
+            }
+          }.toMap
+        if (tidMap.isEmpty) spark.emptyDataset[(Long, Int, Float, Boolean, Boolean)]
+        else {
+          val bm = spark.sparkContext.broadcast(tidMap)
+          spark.read.parquet(s"$d/postings")
+            .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
+            .as[PostingBlock]
+            .flatMap { blk =>
+              val (docs, tfs, nbs) = PostingCodec.decode(blk)
+              val (clause, w, isMust, isNot) = bm.value(blk.term_id)
+              docs.indices.iterator.map { i =>
+                val s = if (isNot) 0.0f
+                        else Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i))
+                (docs(i), clause, s, isMust, isNot)
+              }
+            }
+        }
+      }
+
+    val hits = perSegment.reduce(_ union _)
+    val nMust = mustSet.count(dict.contains)
+    val combined = hits.groupByKey(_._1).mapGroups { (docId, it) =>
+      val arr = it.toArray.sortBy(_._2) // ascending clause = canonical order
+      var mustSeen = 0
+      var shouldSeen = 0
+      var excluded = false
+      var score = 0.0f
+      arr.foreach { case (_, _, s, isMust, isNot) =>
+        if (isNot) excluded = true
+        else { if (isMust) mustSeen += 1 else shouldSeen += 1; score += s }
+      }
+      val ok = !excluded && mustSeen == nMust && shouldSeen >= mm &&
+        (mustSeen + shouldSeen) > 0
+      if (ok) (docId, score) else (docId, Float.NaN)
+    }.filter(r => !r._2.isNaN)
+
+    combined.toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

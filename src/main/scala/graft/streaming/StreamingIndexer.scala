@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.build.{IndexBuilder, StableIds}
+import graft.codec.PostingBlock
+import graft.model.Turn
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Streaming ingest (axis B): every micro-batch becomes an immutable index
+  * segment, published atomically through the [[SnapshotLog]] — the Structured
+  * Streaming realization of Lucene's NRT flow (DocumentsWriter flush ->
+  * searchable-after-refresh segment; SURVEY.md §2.11). Doc ids are assigned
+  * per batch in arrival order from the snapshot's high-water mark (the
+  * reference's behavior: docIDs are arrival-ordered,
+  * /root/reference/src/Lucene.Net/Index/DocumentsWriterPerThread.cs); a batch
+  * rebuild restores canonical (conv_id, turn_idx) order — documented mode
+  * difference.
+  */
+object StreamingIndexer {
+
+  /** Number of live segments that triggers a compaction (TieredMergePolicy's
+    * segmentsPerTier-like knob,
+    * /root/reference/src/Lucene.Net/Index/TieredMergePolicy.cs:82-89).
+    */
+  final val CompactAt = 10
+
+  /** Append one batch of turns as a new segment and commit a snapshot. */
+  def appendSegment(batch: Dataset[Turn], indexDir: String,
+                    autoCompact: Boolean = true): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest()
+    val base = snap.map(_.maxDoc).getOrElse(0L)
+    val segId = snap.map(_.id + 1).getOrElse(0L)
+    val segDir = s"$indexDir/seg-$segId"
+    val p = math.max(spark.sessionState.conf.numShufflePartitions / 4, 4)
+    // within-batch stable order, offset by the global high-water mark
+    val withIds = StableIds.attach(
+      batch.toDF().select(col("conv_id"), col("turn_idx"), col("text")),
+      Seq(col("conv_id"), col("turn_idx")), "seg_doc", p)
+      .withColumn("doc_id", col("seg_doc") + lit(base))
+    withIds.select("doc_id", "conv_id", "turn_idx")
+      .write.mode("overwrite").parquet(s"$segDir/docmap")
+    val maxDoc = base + withIds.count()
+    IndexBuilder.build(withIds.select("doc_id", "text"), segDir,
+      IndexBuilder.Options(numPartitions = p))
+    withIds.unpersist(blocking = false)
+    val newSegs = snap.map(_.segments).getOrElse(Nil) :+ segDir
+    log.commit(maxDoc, snap.flatMap(_.base), newSegs)
+    if (autoCompact && newSegs.size >= CompactAt) compact(spark, indexDir)
+  }
+
+  /** Merge base + all segments into a fresh base snapshot (SegmentMerger +
+    * TieredMergePolicy analog): every segment's postings rows ARE doc-sorted
+    * disjoint-range runs per term, so they re-enter the batch builder's
+    * sort-merge (S4) unchanged; the snapshot pointer flips atomically at the
+    * end and old segment dirs stay readable for in-flight queries.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest().getOrElse(return)
+    if (snap.segments.isEmpty && snap.base.isDefined) return
+    val parts = snap.base.toSeq ++ snap.segments
+    val newBase = s"$indexDir/base-${snap.id + 1}"
+    // postings (term_id) -> Run rows (term): reverse the per-segment dict
+    val runs: DataFrame = parts.map { dir =>
+      val dict = spark.read.parquet(s"$dir/termdict").select("term", "term_id")
+      spark.read.parquet(s"$dir/postings")
+        .join(dict, "term_id")
+        .select(lit(-1).as("pid"), col("term"), col("first_doc"), col("last_doc"), col("cnt"),
+          // sum_tf per run only feeds the termdict agg; recompute from blocks
+          lit(0L).as("sum_tf"), col("max_tf"), col("max_nb"),
+          col("doc_bytes"), col("tf_bytes"), col("norm_bytes"))
+    }.reduce(_ unionByName _)
+    // recompute per-run sum_tf (needed for ttf) by decoding tf cells
+    val fixed = runs.as[graft.model.Run].map { r =>
+      val tfs = graft.codec.ForCodec.unpack(r.tf_bytes)
+      r.copy(sum_tf = tfs.sum)
+    }
+    fixed.write.mode("overwrite").parquet(s"$newBase/runs")
+    // norms: concatenate (doc spaces are disjoint)
+    parts.map(d => spark.read.parquet(s"$d/norms")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$newBase/norms")
+    parts.map(d => spark.read.parquet(s"$d/docmap")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$newBase/docmap")
+    val manifest = new graft.build.ManifestStore(newBase, spark)
+    manifest.commit("docmap", -1L, 0L, Some(s"$newBase/docmap"))
+    manifest.commit("runs", -1L, 0L, Some(s"$newBase/runs"))
+    manifest.commit("norms", -1L, 0L, Some(s"$newBase/norms"))
+    IndexBuilder.buildFromRuns(newBase, IndexBuilder.Options())
+    log.commit(snap.maxDoc, Some(newBase), Nil)
+  }
+
+  /** Wire a streaming Dataset[Turn] into segment appends. Watermark bounds
+    * late turns; each micro-batch commits one segment.
+    */
+  def writer(turns: Dataset[Turn], indexDir: String, checkpoint: String,
+             watermarkDelay: String = "1 hour"): DataStreamWriter[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .as[Turn]
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
+        appendSegment(batch, indexDir)
+      }
+  }
+}
