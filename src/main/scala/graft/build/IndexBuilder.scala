@@ -245,9 +245,21 @@ object IndexBuilder {
     }
     val termdict = spark.read.parquet(s"$outDir/termdict")
 
-    // ---- S4: global sort-merge into 128-doc blocks (SegmentMerger analog) -
+    // ---- S4: global sort-merge into impact-ordered 128-doc blocks ---------
+    // (SegmentMerger analog; block membership is by DESCENDING build-time
+    // impact — tf/(tf+cache[nb]) with the collection's avgdl, a monotone
+    // proxy of every query's per-term score — then doc-sorted within each
+    // block so the FOR delta encoding still applies. Random doc order defeats
+    // block-max pruning (every block contains some high-impact posting);
+    // impact-clustered blocks make max_tf/max_nb sharply discriminative, the
+    // trade being slightly larger doc gaps. Lucene 4.8 has neither; this is
+    // the scale path for the BMW kernel.)
     if (!manifest.isDone("postings")) {
       val t0 = System.nanoTime()
+      val (maxDoc0, sumTtf0) = spark.read.parquet(s"$outDir/norms")
+        .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).as[(Long, Long)].head()
+      val impactCache = graft.score.Bm25.buildCache(
+        graft.score.Bm25.avgFieldLength(sumTtf0, math.max(maxDoc0, 1L)))
       val offDf = offsets.toSeq.toDF("pid", "off")
       val keyed = runs.toDF()
         .filter(col("term") >= PseudoMax)
@@ -260,7 +272,7 @@ object IndexBuilder {
         .repartitionByRange(p, col("term_id"), col("first_doc"))
         .sortWithinPartitions("term_id", "first_doc")
         .as[KeyedRun]
-      val blocks = keyed.mapPartitions(mergeRuns)
+      val blocks = keyed.mapPartitions(mergeRuns(impactCache))
       blocks.write.mode("overwrite").parquet(s"$outDir/postings")
       manifest.commit("postings", -1L, ms(t0), Some(s"$outDir/postings"))
     }
@@ -374,11 +386,14 @@ object IndexBuilder {
     (docs, tfs, r.norm_bytes)
   }
 
-  /** Streaming merge of (term_id, first_doc)-sorted runs into final blocks.
-    * Runs of one term cover disjoint doc ranges (they come from disjoint
-    * doc-range partitions), so merging is concatenate + re-block.
+  /** Streaming merge of (term_id, first_doc)-sorted runs into final blocks,
+    * re-blocked by DESCENDING impact (ties: doc asc), each block doc-sorted
+    * for the delta codec. Runs of one term may overlap in doc range (impact
+    * blocks from a prior compaction do); each doc appears in exactly one run,
+    * so merging is concatenate + impact-partition + per-block doc sort.
     */
-  private def mergeRuns(it: Iterator[KeyedRun]): Iterator[PostingBlock] = {
+  private def mergeRuns(impactCache: Array[Float])(
+      it: Iterator[KeyedRun]): Iterator[PostingBlock] = {
     val buf = it.buffered
     new Iterator[PostingBlock] {
       private var pending: Iterator[PostingBlock] = Iterator.empty
@@ -389,20 +404,31 @@ object IndexBuilder {
           val docs = new mutable.ArrayBuffer[Long]()
           val tfs = new mutable.ArrayBuffer[Int]()
           val norms = new mutable.ArrayBuffer[Byte]()
-          var lastDoc = -1L
           while (buf.hasNext && buf.head.term_id == tid) {
             val r = buf.next()
-            require(r.first_doc > lastDoc,
-              s"overlapping runs for term $tid: ${r.first_doc} <= $lastDoc")
             val (d, t, n) = decodeRun(
               Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
                 r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes))
             docs ++= d
             tfs ++= t
             norms ++= n
-            lastDoc = r.last_doc
           }
-          pending = PostingCodec.encodeRun(tid, docs.toArray, tfs.toArray, norms.toArray)
+          val n = docs.length
+          val idx = Array.range(0, n)
+          val impact = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            impact(i) = graft.score.Bm25.score(1.0f, tfs(i).toFloat, impactCache, norms(i))
+            i += 1
+          }
+          val sortedIdx = idx.sortWith { (a, b) =>
+            if (impact(a) != impact(b)) impact(a) > impact(b) else docs(a) < docs(b)
+          }
+          pending = sortedIdx.iterator.grouped(PostingCodec.BlockSize).flatMap { chunk =>
+            val byDoc = chunk.toArray.sortBy(docs(_))
+            PostingCodec.encodeRun(tid,
+              byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)))
+          }
         }
         pending.next()
       }

@@ -78,20 +78,32 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val rest: Map[Long, Float] =
       ids.map(i => i -> ids.filter(_ != i).map(j => gmax.getOrElse(j, 0.0f)).sum).toMap
 
-    // ---- bootstrap θ from the rarest term's best blocks --------------------
-    val lead = weights.values.maxBy(_.weightValue)
+    // ---- bootstrap θ: per-doc PARTIAL sums over every term's best blocks ---
+    // A doc's partial sum over any subset of its matching terms is a lower
+    // bound of its total score, so the k-th best partial sum is a sound
+    // starting threshold (much stronger than a single-term bootstrap for
+    // multi-term disjunctions).
     val nBlocks = math.max(1, k / PostingCodec.BlockSize + 1)
-    val leadBlocks = postings
-      .filter(col("term_id") === lead.termId)
-      .as[PostingBlock]
-      .map(b => (b, ub(lead, b.max_tf, b.max_nb)))
-      .orderBy(desc("_2"))
-      .limit(nBlocks)
-      .collect()
-    val bootScores = leadBlocks.flatMap { case (b, _) =>
-      val (_, tfs, nbs) = PostingCodec.decode(b)
-      tfs.indices.map(i => Bm25.score(lead.weightValue, tfs(i).toFloat, lead.cache, nbs(i)))
-    }.sorted(Ordering[Float].reverse)
+    val bootBlocks = ids.flatMap { tid =>
+      val w = weights(tid)
+      postings
+        .filter(col("term_id") === tid)
+        .as[PostingBlock]
+        .map(b => (b, ub(w, b.max_tf, b.max_nb)))
+        .orderBy(desc("_2"))
+        .limit(nBlocks)
+        .collect()
+    }
+    val partial = new scala.collection.mutable.HashMap[Long, Float]()
+    bootBlocks.foreach { case (b, _) =>
+      val w = weights(b.term_id)
+      val (docs, tfs, nbs) = PostingCodec.decode(b)
+      docs.indices.foreach { i =>
+        val s = Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i))
+        partial.updateWith(docs(i)) { case Some(x) => Some(x + s); case None => Some(s) }
+      }
+    }
+    val bootScores = partial.values.toArray.sorted(Ordering[Float].reverse)
     val theta: Float =
       if (bootScores.length >= k) bootScores(k - 1) else Float.NegativeInfinity
 

@@ -41,13 +41,16 @@ object IndexVerifier {
     val badTerms = joined.count()
     if (badTerms > 0) errs += s"$badTerms terms with df/ttf mismatch between postings and termdict"
 
-    // Blocks of one term must not overlap: check via window-free self-ordering.
-    val overlaps = perBlock
-      .withColumn("prev_last", lag("last_doc", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term_id").orderBy("first_doc")))
-      .filter(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+    // Blocks of one term are impact-partitioned (doc ranges MAY overlap) but
+    // must still partition the posting set: no doc twice under one term.
+    val dups = postings.flatMap { b =>
+      val (docs, _, _) = PostingCodec.decode(b)
+      docs.iterator.map(d => (b.term_id, d))
+    }.toDF("term_id", "doc_id")
+      .groupBy("term_id", "doc_id").count()
+      .filter(col("count") > 1)
       .count()
-    if (overlaps > 0) errs += s"$overlaps overlapping blocks"
+    if (dups > 0) errs += s"$dups duplicate (term, doc) postings across blocks"
 
     val normCount = norms.count()
     if (normCount != stats.max_doc) errs += s"norms rows $normCount != maxDoc ${stats.max_doc}"

@@ -1,0 +1,66 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.fixtures.Transcripts
+import graft.query.{Query, Searcher, WandSearcher}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Block-max pruned search must be rank- AND score-bit-identical to the
+  * exhaustive path (the rank-safety property of the bound algebra), and must
+  * actually skip blocks on skewed term mixes.
+  */
+class WandSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft_wand").toString
+    IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 400), dir)
+    dir
+  }
+  private lazy val exhaustive = new Searcher(spark, indexDir)
+  private lazy val wand = new WandSearcher(spark, indexDir)
+
+  private def both(q: Query, k: Int = 10): Unit = {
+    val a = exhaustive.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = wand.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a == b, s"WAND diverged on $q\n exhaustive: $a\n wand: $b")
+  }
+
+  test("single-term: identical to exhaustive") {
+    both(Query.Term("time"))
+    both(Query.Term("w001234"))
+    both(Query.Term("zzzznothere"))
+  }
+
+  test("disjunctions: identical to exhaustive") {
+    both(Query.Bool(should = Seq("time", "person")))
+    both(Query.Bool(should = Seq("spark", "index", "search")))
+    both(Query.Bool(should = Seq("year", "way", "day", "thing", "man")))
+    both(Query.Bool(should = Seq("time", "zzzznothere")))
+    // hot + rare mix: the pruning sweet spot
+    both(Query.Bool(should = Seq("time", "w001234")))
+  }
+
+  test("MUST/NOT fall back to the exhaustive path, still identical") {
+    both(Query.Bool(must = Seq("time", "person")))
+    both(Query.Bool(should = Seq("time"), mustNot = Seq("person")))
+  }
+
+  test("pruning actually skips blocks on a hot single-term query") {
+    // Block-level bounds (no doc-at-a-time cursor alignment) can prune only
+    // when the threshold exceeds a block's own upper bound: the hot
+    // single-term case, where θ from the best blocks beats the long tail of
+    // low-block-max blocks. (A hot+rare disjunction is un-prunable at block
+    // granularity — any hot doc might also contain the rare term.)
+    wand.search(Query.Term("time"), 3).collect()
+    val skipped = wand.lastSkipped.get.value
+    val scanned = wand.lastScanned.get.value
+    assert(skipped + scanned > 0)
+    assert(skipped > 0, s"expected some skipped blocks (scanned=$scanned)")
+  }
+
+  test("k larger than total hits") {
+    both(Query.Term("w001234"), k = 10000)
+  }
+}
