@@ -110,20 +110,27 @@ object IndexBuilder {
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
     val offsets = runOffsets(spark, outDir)
-    if (!manifest.isDone("docmap")) {
-      val t0 = System.nanoTime()
-      val bOff = spark.sparkContext.broadcast(offsets)
-      spark.read.parquet(s"$outDir/runs").as[Run]
-        .filter(_.term == DocmapKey)
-        .flatMap { r =>
-          val off = bOff.value.getOrElse(r.pid, 0L)
-          decodeDocmapPayload(r).map { case (local, c, t) => (off + local, c, t) }
-        }
-        .toDF("doc_id", "conv_id", "turn_idx")
-        .write.mode("overwrite").parquet(s"$outDir/docmap")
-      manifest.commit("docmap", -1L, ms(t0), Some(s"$outDir/docmap"))
+    // docmap decode is independent of S2-S5: run it concurrently (Spark
+    // timeshares the task slots across jobs, shrinking the serial tail).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docmapF = Future {
+      if (!manifest.isDone("docmap")) {
+        val t0 = System.nanoTime()
+        val bOff = spark.sparkContext.broadcast(offsets)
+        spark.read.parquet(s"$outDir/runs").as[Run]
+          .filter(_.term == DocmapKey)
+          .flatMap { r =>
+            val off = bOff.value.getOrElse(r.pid, 0L)
+            decodeDocmapPayload(r).map { case (local, c, t) => (off + local, c, t) }
+          }
+          .toDF("doc_id", "conv_id", "turn_idx")
+          .write.mode("overwrite").parquet(s"$outDir/docmap")
+        manifest.commit("docmap", -1L, ms(t0), Some(s"$outDir/docmap"))
+      }
     }
     buildFromRuns(outDir, opts.copy(overwrite = false))
+    Await.result(docmapF, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Tokenize one sorted partition, emitting posting runs AND the docmap
@@ -215,18 +222,22 @@ object IndexBuilder {
     val offsets = runOffsets(spark, outDir)
     val bOff = spark.sparkContext.broadcast(offsets)
 
-    // ---- S2: norms sidecar ----------------------------------------------
-    if (!manifest.isDone("norms")) {
-      val t0 = System.nanoTime()
-      val norms = runs.filter(_.term == NormsKey).flatMap { r =>
-        val off = bOff.value.getOrElse(r.pid, 0L)
-        val (docs, lens, _) = decodeRun(r)
-        docs.indices.iterator.map { i =>
-          NormRow(off + docs(i), lens(i), SmallFloat.encodeNorm(lens(i)))
+    // ---- S2: norms sidecar (concurrent with S3 — independent inputs) -----
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val normsF = Future {
+      if (!manifest.isDone("norms")) {
+        val t0 = System.nanoTime()
+        val norms = runs.filter(_.term == NormsKey).flatMap { r =>
+          val off = bOff.value.getOrElse(r.pid, 0L)
+          val (docs, lens, _) = decodeRun(r)
+          docs.indices.iterator.map { i =>
+            NormRow(off + docs(i), lens(i), SmallFloat.encodeNorm(lens(i)))
+          }
         }
+        norms.write.mode("overwrite").parquet(s"$outDir/norms")
+        manifest.commit("norms", -1L, ms(t0), Some(s"$outDir/norms"))
       }
-      norms.write.mode("overwrite").parquet(s"$outDir/norms")
-      manifest.commit("norms", -1L, ms(t0), Some(s"$outDir/norms"))
     }
 
     // ---- S3: term dictionary with dense term_ids by term order -----------
@@ -244,6 +255,8 @@ object IndexBuilder {
       manifest.commit("termdict", -1L, ms(t0), Some(s"$outDir/termdict"))
     }
     val termdict = spark.read.parquet(s"$outDir/termdict")
+    // S4 needs the norms stats (impact avgdl); S5 needs the norms table.
+    Await.result(normsF, scala.concurrent.duration.Duration.Inf)
 
     // ---- S4: global sort-merge into impact-ordered 128-doc blocks ---------
     // (SegmentMerger analog; block membership is by DESCENDING build-time

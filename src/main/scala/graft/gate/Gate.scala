@@ -254,6 +254,47 @@ object Gate {
         .agg(max("score_q").as("max_q"), count(lit(1)).as("hits"))
         .orderBy(desc("max_q"), asc("source"))
         .limit(5)),
+    // --- second-stage / derived query operators ----------------------------
+    "ft_more_like_this" -> ((s, d) => moreLikeThis(s, d, 0L, 5, 10)),
+    "ft_rescore" -> ((s, d) => {
+      // QueryRescorer analog: BM25 top-20 first pass, re-ranked by the
+      // combined (first-pass score + n_chars) second-stage key.
+      val first = topkSum(s, d, Seq("query"), 20)
+      first.join(docsTable(s, d).select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"), (col("score_q") + col("n_chars")).cast("long").as("rescore"))
+        .orderBy(desc("rescore"), asc("doc_id"))
+        .limit(10)
+    }),
+    "ft_common_terms" -> ((s, d) => {
+      // CommonTermsQuery analog: low-df terms gate the match (>=1 required),
+      // high-df terms (df > 0.79*N) only contribute score.
+      import s.implicits._
+      val idx = indexDir(s, d)
+      val n = stats(s, idx).max_doc
+      val qTerms = Seq("dup", "batch", "key")
+      val dfs = termdict(s, idx).filter(col("term").isin(qTerms: _*))
+        .select("term", "df").as[(String, Long)].collect().toMap
+      val low = qTerms.filter(t => dfs.get(t).exists(_ <= 0.79 * n))
+      val h = hits(s, d, qTerms)
+      val lowDocs = h.filter(col("term").isin(low: _*)).select("doc_id").distinct()
+      rank(h.join(lowDocs, "doc_id").groupBy("doc_id").agg(sum("s").as("sd")), 10)
+    }),
+    "ft_highlight" -> ((s, d) => {
+      // PostingsHighlighter analog: first occurrence position of the term in
+      // each top doc + a 4-token snippet window from the stored text.
+      import s.implicits._
+      val top = topkSum(s, d, Seq("vector"), 5).select("doc_id")
+      top.join(docsTable(s, d).select("doc_id", "text"), "doc_id")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val p = toks.indexOf("vector")
+          val snippet = toks.slice(p, math.min(p + 4, toks.length)).mkString(" ")
+          (id, (p + 1).toLong, snippet)
+        }
+        .toDF("doc_id", "pos", "snippet")
+        .orderBy("doc_id")
+    }),
     // --- training-data pipeline ops ---------------------------------------
     "dedup_exact" -> ((s, d) =>
       docsTable(s, d)
@@ -269,6 +310,35 @@ object Gate {
   )
 
   // ------------------------- multi-step queries ----------------------------
+
+  /** MoreLikeThis: the seed doc's terms ranked by tf*idf interest (top
+    * `nTerms`, ties by term), run as a SHOULD disjunction excluding the seed
+    * (/root/reference/src/Lucene.Net.Queries/Mlt/MoreLikeThis.cs semantics,
+    * simplified to the same idf form as the rest of the gate).
+    */
+  def moreLikeThis(spark: SparkSession, sfDir: String, seedDoc: Long,
+                   nTerms: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val st = stats(spark, idx)
+    val n = st.max_doc
+    val text = docsTable(spark, sfDir).filter(col("doc_id") === seedDoc)
+      .select("text").as[String].head()
+    val tf = Analyzer.termFreqs(text)._1
+    val dfMap = termdict(spark, idx)
+      .filter(col("term").isin(tf.keys.toSeq: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val interesting = tf.toSeq
+      .filter { case (t, _) => dfMap.contains(t) }
+      .map { case (t, f) =>
+        (t, f * math.log(1.0 + (n - dfMap(t) + 0.5) / (dfMap(t) + 0.5)))
+      }
+      .sortBy { case (t, i) => (-i, t) }
+      .take(nTerms).map(_._1)
+    rank(hits(spark, sfDir, interesting)
+      .filter(col("doc_id") =!= seedDoc)
+      .groupBy("doc_id").agg(sum("s").as("sd")), k)
+  }
 
   /** Exact PhraseQuery (slop 0): MUST-conjunction candidates from the index,
     * phrase frequency re-derived from stored text positions (StopFilter holes

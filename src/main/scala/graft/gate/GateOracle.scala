@@ -176,6 +176,49 @@ object GateOracle {
          |SELECT d.source AS source, max(b.score_q) AS max_q, count(*) AS hits
          |FROM base b JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY max_q DESC, source LIMIT 5""".stripMargin,
+    "ft_more_like_this" ->
+      s"""$prelude, mlt AS (
+         |  SELECT t.term FROM tfs t JOIN dfs d USING (term) CROSS JOIN st
+         |  WHERE t.doc_id = 0
+         |  ORDER BY t.tf * ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC, t.term
+         |  LIMIT 5
+         |)
+         |SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |FROM sc WHERE term IN (SELECT term FROM mlt) AND doc_id <> 0
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_rescore" ->
+      s"""$prelude, first AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'query' GROUP BY doc_id
+         |  ORDER BY score_q DESC, doc_id LIMIT 20
+         |)
+         |SELECT f.doc_id, CAST(f.score_q + d.n_chars AS BIGINT) AS rescore
+         |FROM first f JOIN documents d USING (doc_id)
+         |ORDER BY rescore DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_common_terms" ->
+      s"""$prelude, low AS (
+         |  SELECT term FROM dfs CROSS JOIN st WHERE term IN ('dup', 'batch', 'key')
+         |    AND df <= 0.79 * st.n
+         |), lowdocs AS (
+         |  SELECT DISTINCT doc_id FROM sc WHERE term IN (SELECT term FROM low)
+         |)
+         |SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |FROM sc JOIN lowdocs USING (doc_id)
+         |WHERE term IN ('dup', 'batch', 'key')
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_highlight" ->
+      s"""$prelude, top AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |  ORDER BY score_q DESC, doc_id LIMIT 5
+         |), firstpos AS (
+         |  SELECT p.doc_id, min(p.p) AS pos FROM pos p JOIN top USING (doc_id)
+         |  WHERE p.t = 'vector' GROUP BY p.doc_id
+         |)
+         |SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos,
+         |       array_to_string(l[f.pos:f.pos + 3], ' ') AS snippet
+         |FROM firstpos f JOIN splits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT c AS cnt, count(*) AS groups FROM (
         |  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY h

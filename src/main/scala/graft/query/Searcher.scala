@@ -26,7 +26,14 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
     spark.read.parquet(s"$indexDir/stats").as[CollectionStats].head()
 
   private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
-  private def termdictDf: DataFrame = spark.read.parquet(s"$indexDir/termdict")
+  // The term dictionary is metadata-sized (the reference holds its FST in
+  // RAM, BlockTreeTermsWriter.cs:57); cache it once per searcher so repeated
+  // queries skip the parquet footer round-trips.
+  private lazy val termdictDf: DataFrame = {
+    val df = spark.read.parquet(s"$indexDir/termdict")
+    df.cache()
+    df
+  }
 
   /** Driver-side term lookup — the TermContext resolution analog
     * (/root/reference/src/Lucene.Net/Search/TermQuery.cs:101-123): one tiny

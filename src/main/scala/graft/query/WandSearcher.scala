@@ -67,35 +67,40 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     }.toMap
     val ids = weights.keySet.toSeq
 
-    // ---- per-term global block-max (tiny metadata agg, no block decode) ----
+    // ---- one metadata-only job: per-block (term_id, first_doc, ub inputs) --
+    // Block metadata is ~1/128th of the postings; collecting it driver-side
+    // gives both the per-term global maxima AND the bootstrap block choice
+    // without per-term jobs.
     val meta = postings
       .filter(col("term_id").isin(ids: _*))
-      .groupBy("term_id")
-      .agg(max("max_tf").as("mtf"), max("max_nb").as("mnb"))
-      .as[(Long, Int, Int)].collect()
-    val gmax: Map[Long, Float] =
-      meta.map { case (tid, mtf, mnb) => tid -> ub(weights(tid), mtf, mnb) }.toMap
+      .select("term_id", "first_doc", "max_tf", "max_nb")
+      .as[(Long, Long, Int, Int)].collect()
+    val gmax: Map[Long, Float] = meta.groupBy(_._1).map { case (tid, ms) =>
+      tid -> ms.map(m => ub(weights(tid), m._3, m._4)).max
+    }
     val rest: Map[Long, Float] =
       ids.map(i => i -> ids.filter(_ != i).map(j => gmax.getOrElse(j, 0.0f)).sum).toMap
 
     // ---- bootstrap θ: per-doc PARTIAL sums over every term's best blocks ---
     // A doc's partial sum over any subset of its matching terms is a lower
     // bound of its total score, so the k-th best partial sum is a sound
-    // starting threshold (much stronger than a single-term bootstrap for
-    // multi-term disjunctions).
+    // starting threshold. One fetch job for all chosen blocks.
     val nBlocks = math.max(1, k / PostingCodec.BlockSize + 1)
-    val bootBlocks = ids.flatMap { tid =>
+    val chosen: Set[(Long, Long)] = meta.groupBy(_._1).iterator.flatMap { case (tid, ms) =>
       val w = weights(tid)
-      postings
-        .filter(col("term_id") === tid)
+      ms.sortBy(m => -ub(w, m._3, m._4)).take(nBlocks).map(m => (tid, m._2))
+    }.toSet
+    val bootBlocks =
+      if (chosen.isEmpty) Array.empty[PostingBlock]
+      else postings
+        .filter(col("term_id").isin(ids: _*))
+        // pushdown-friendly superset filter, then the exact pair filter
+        .filter(col("first_doc").isin(chosen.map(_._2).toSeq: _*))
         .as[PostingBlock]
-        .map(b => (b, ub(w, b.max_tf, b.max_nb)))
-        .orderBy(desc("_2"))
-        .limit(nBlocks)
+        .filter(b => chosen.contains((b.term_id, b.first_doc)))
         .collect()
-    }
     val partial = new scala.collection.mutable.HashMap[Long, Float]()
-    bootBlocks.foreach { case (b, _) =>
+    bootBlocks.foreach { b =>
       val w = weights(b.term_id)
       val (docs, tfs, nbs) = PostingCodec.decode(b)
       docs.indices.foreach { i =>
