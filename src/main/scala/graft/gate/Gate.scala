@@ -304,6 +304,9 @@ object Gate {
         .orderBy("c")
         .withColumnRenamed("c", "cnt")),
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
+    "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
     "sim_topk" -> ((s, d) => simTopk(s, d, 10)),
     "sessionize" -> ((s, d) => sessionize(s, d))
@@ -450,6 +453,137 @@ object Gate {
       .filter(col("j") >= 0.8)
       .select(col("d1"), col("d2"), q(col("j")).as("jaccard_q"))
       .orderBy("d1", "d2")
+  }
+
+  /** Raw 3-token shingle sets per doc (shared by the n-gram dedup ops). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsTable(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val raw = text.split(" ", -1)
+        (0 until math.max(0, raw.length - 2)).iterator
+          .map(i => (id, raw(i) + " " + raw(i + 1) + " " + raw(i + 2)))
+      }
+      .toDF("doc_id", "s").distinct()
+  }
+
+  /** Exact n-gram Jaccard dedup: candidate docs are those containing the
+    * planted rare marker term 'dup'; each is compared against EVERY doc
+    * (shingle-set Jaccard >= 0.8). The no-LSH baseline of dedup_minhash.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val marked = hits(spark, sfDir, Seq("dup")).select(col("doc_id").as("d1")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = marked
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .filter(col("d1") =!= col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+      .withColumn("j", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("d1"), col("d2"), q(col("j")).as("jaccard_q"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup: 16-bit signature per doc — bit b votes +1 when bit b
+    * of the shingle's md5 (hex nibbles) is set, else -1; sign of the vote sum
+    * is the signature bit. Pairs of 'dup'-marked docs vs all docs at Hamming
+    * distance <= 3. All hash material is md5 hex, so the oracle SQL computes
+    * identical signatures.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, sfDir).as[(Long, String)]
+    val sigs = sh.map { case (id, s) => (id, md5hex16bits(s)) }
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val votes = new Array[Int](16)
+        it.foreach { case (_, bits) =>
+          var b = 0
+          while (b < 16) {
+            votes(b) += (if (((bits >> b) & 1) == 1) 1 else -1)
+            b += 1
+          }
+        }
+        var sig = 0
+        var b = 0
+        while (b < 16) { if (votes(b) > 0) sig |= (1 << b); b += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "sig")
+    val marked = hits(spark, sfDir, Seq("dup")).select(col("doc_id").as("d1")).distinct()
+    marked
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .crossJoin(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")))
+      .filter(col("d1") =!= col("d2"))
+      .withColumn("ham", expr("bit_count(sig1 ^ sig2)"))
+      .filter(col("ham") <= 3)
+      .select(col("d1"), col("d2"), col("ham").cast("long").as("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** First 16 bits of md5(s) from the leading 4 hex nibbles. */
+  def md5hex16bits(s: String): Int = {
+    val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    Integer.parseInt(hex.substring(0, 4), 16)
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: 4 deterministic md5-derived
+    * random hyperplanes; candidates share the query vector's sign-bucket;
+    * exact cosine re-rank within the bucket (the scale path next to the
+    * brute-force sim_topk baseline).
+    */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val dim = emb.head()._2.length
+    // hyperplane h(p)[j] = (first-byte of md5(p|j)) - 127.5  — identical in SQL
+    val planes: Array[Array[Double]] = Array.tabulate(4) { p =>
+      Array.tabulate(dim) { j =>
+        Integer.parseInt(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p|$j").substring(0, 2),
+          16) - 127.5
+      }
+    }
+    val bp = spark.sparkContext.broadcast(planes)
+    def bucketOf(e: Array[Float]): Int = {
+      var bits = 0
+      var p = 0
+      while (p < 4) {
+        var dot = 0.0
+        var j = 0
+        while (j < e.length) { dot += e(j).toDouble * bp.value(p)(j); j += 1 }
+        if (dot >= 0) bits |= (1 << p)
+        p += 1
+      }
+      bits
+    }
+    val withBuckets = emb.map { case (id, e) => (id, e, bucketOf(e)) }
+    val (qid, qv, qb) = withBuckets.filter(_._1 == 0L).head()
+    val bq = spark.sparkContext.broadcast(qv.map(_.toDouble))
+    val nq = math.sqrt(bq.value.map(x => x * x).sum)
+    withBuckets.filter(r => r._3 == qb && r._1 != qid)
+      .map { case (id, e, _) =>
+        var dot = 0.0; var ne = 0.0; var j = 0
+        while (j < e.length) {
+          val x = e(j).toDouble
+          dot += x * bq.value(j)
+          ne += x * x
+          j += 1
+        }
+        (id, dot / (math.sqrt(ne) * nq))
+      }
+      .toDF("vec_id", "cos")
+      .select(col("vec_id"), q(col("cos")).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
   }
 
   /** Per-doc quality metrics: emitted tokens, distinct terms, raw tokens and

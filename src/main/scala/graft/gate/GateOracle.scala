@@ -259,6 +259,92 @@ object GateOracle {
          |JOIN sizes sb ON sb.doc_id = d2
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$prelude, sh AS (
+         |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |), marked AS (
+         |  SELECT DISTINCT doc_id AS d1 FROM tfs WHERE term = 'dup'
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT m.d1, y.doc_id AS d2, count(*) AS i
+         |  FROM marked m
+         |  JOIN sh x ON x.doc_id = m.d1
+         |  JOIN sh y ON y.s = x.s AND y.doc_id <> m.d1
+         |  GROUP BY m.d1, y.doc_id
+         |)
+         |SELECT d1, d2, ${qz("CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)")} AS jaccard_q
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" ->
+      s"""$prelude, sh AS (
+         |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |), hv AS (
+         |  SELECT doc_id,
+         |    (instr('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 4096 +
+         |    (instr('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 256 +
+         |    (instr('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 16 +
+         |    (instr('0123456789abcdef', substr(md5(s), 4, 1)) - 1) AS v
+         |  FROM sh
+         |), votes AS (
+         |  SELECT doc_id, r.b AS b,
+         |    sum(CASE WHEN (v // CAST(power(2, r.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vt
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+         |  GROUP BY doc_id, r.b
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vt > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM votes GROUP BY doc_id
+         |), marked AS (
+         |  SELECT DISTINCT doc_id AS d1 FROM tfs WHERE term = 'dup'
+         |)
+         |SELECT m.d1, s2.doc_id AS d2,
+         |       CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+         |FROM marked m
+         |JOIN sigs s1 ON s1.doc_id = m.d1
+         |CROSS JOIN sigs s2
+         |WHERE s2.doc_id <> m.d1 AND bit_count(xor(s1.sig, s2.sig)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), pl AS (
+         |  SELECT p.p AS p, j.j AS j,
+         |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 2, 1)) - 1) - 127.5 AS w
+         |  FROM (SELECT unnest(range(0, 4)) AS p) p
+         |  CROSS JOIN (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
+         |), dots AS (
+         |  SELECT e.vec_id, pl.p, sum(e.ev[pl.j + 1] * pl.w) AS dot
+         |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.p
+         |), buck AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+         |  FROM dots GROUP BY vec_id
+         |), q AS (
+         |  SELECT e.ev AS qv, buck.b AS qb FROM e JOIN buck USING (vec_id) WHERE vec_id = 0
+         |), cand AS (
+         |  SELECT e.vec_id, e.ev FROM e JOIN buck USING (vec_id) CROSS JOIN q
+         |  WHERE buck.b = q.qb AND e.vec_id <> 0
+         |), d AS (
+         |  SELECT c.vec_id,
+         |    list_sum(list_transform(range(1, len(c.ev) + 1), i -> c.ev[i] * q.qv[i])) AS dot,
+         |    sqrt(list_sum(list_transform(c.ev, x -> x * x))) AS ne,
+         |    sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
+         |  FROM cand c CROSS JOIN q
+         |)
+         |SELECT vec_id, ${qz("dot / (ne * nq)")} AS cos_q
+         |FROM d ORDER BY cos_q DESC, vec_id LIMIT 5""".stripMargin,
     "text_quality" ->
       s"""$prelude, raws AS (
          |  SELECT doc_id, CAST(len(l) AS BIGINT) AS raw_tokens FROM splits
