@@ -159,7 +159,12 @@ object Bench {
       f""""scaling":{"turns":$turns,"t1_s":$t1%.2f,"t4_s":$t4%.2f,""" +
         f""""turns_per_sec_n1":${turns / t1}%.0f,"turns_per_sec_n4":${turns / t4}%.0f,""" +
         f""""efficiency_n_to_4n":$eff%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}""")
+    val line =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
+    // stdout goes through sbt's log wrapper (round-1 driver failed to parse
+    // it back out) — the file copy is the canonical machine-readable result.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$benchDir/bench.json"), line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    println(line)
   }
 }

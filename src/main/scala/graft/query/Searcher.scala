@@ -25,7 +25,9 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
   val stats: CollectionStats =
     spark.read.parquet(s"$indexDir/stats").as[CollectionStats].head()
 
-  private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  // One relation (and one file listing) reused across queries — at cluster
+  // scale re-listing the postings table per query is a driver hotspot.
+  private lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
   // The term dictionary is metadata-sized (the reference holds its FST in
   // RAM, BlockTreeTermsWriter.cs:57); cache it once per searcher so repeated
   // queries skip the parquet footer round-trips.

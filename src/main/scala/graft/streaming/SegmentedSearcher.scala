@@ -46,9 +46,11 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
   }
 
   def search(q: Query, k: Int): DataFrame = {
-    val b = q match {
-      case Query.Term(t, _) => Query.Bool(should = Seq(t))
-      case bb: Query.Bool   => bb
+    // Term boost is threaded into the weight exactly as Searcher.search does
+    // (segmented/batch parity must hold for boosted queries too).
+    val (b, boost) = q match {
+      case Query.Term(t, bst) => (Query.Bool(should = Seq(t)), bst)
+      case bb: Query.Bool     => (bb, 1.0f)
     }
     val must = b.must.distinct
     val should = b.should.distinct.filterNot(must.contains)
@@ -61,7 +63,8 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     // clause index by sorted term order = the canonical float32 sum order
     val clauseIdx: Map[String, Int] = posTerms.zipWithIndex.toMap
     val weights: Map[String, Bm25.TermWeight] = posTerms.map { t =>
-      t -> Bm25.termWeight(clauseIdx(t).toLong, dict(t)._1, stats.max_doc, stats.sum_ttf)
+      t -> Bm25.termWeight(clauseIdx(t).toLong, dict(t)._1, stats.max_doc,
+        stats.sum_ttf, boost)
     }.toMap
     val mustSet = must.toSet
     val mm = b.minShouldMatch

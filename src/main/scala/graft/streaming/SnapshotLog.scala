@@ -34,6 +34,13 @@ final class SnapshotLog(indexDir: String, spark: SparkSession) {
 
   /** Commit the next snapshot (id = latest + 1). */
   def commit(maxDoc: Long, base: Option[String], segments: Seq[String]): Snapshot = {
+    // The snapshot file is fixed-shape JSON with a substring parser; reject
+    // path characters that would corrupt the round-trip (legal on POSIX but
+    // never produced by our own segment naming).
+    (base.toSeq ++ segments).foreach { p =>
+      require(!p.exists(c => c == ',' || c == '}' || c == ']' || c == '"'),
+        s"index path contains JSON-breaking character: $p")
+    }
     val id = latest().map(_.id + 1).getOrElse(0L)
     val json =
       s"""{"id":$id,"max_doc":$maxDoc,"base":${base.map(b => "\"" + b + "\"").getOrElse("null")},

@@ -62,7 +62,9 @@ object StreamingIndexer {
     import spark.implicits._
     val log = new SnapshotLog(indexDir, spark)
     val snap = log.latest().getOrElse(return)
-    if (snap.segments.isEmpty && snap.base.isDefined) return
+    // no segments -> nothing to fold in (a bare base is already compact, and
+    // an empty snapshot must not reach the parts reduce below)
+    if (snap.segments.isEmpty) return
     val parts = snap.base.toSeq ++ snap.segments
     val newBase = s"$indexDir/base-${snap.id + 1}"
     // postings (term_id) -> Run rows (term): reverse the per-segment dict
