@@ -246,10 +246,11 @@ object IndexBuilder {
       val termAgg = runs.toDF()
         .filter(col("term") >= PseudoMax)
         .groupBy("term")
-        .agg(sum("cnt").as("df"), sum("sum_tf").as("ttf"))
+        .agg(sum("cnt").as("df"), sum("sum_tf").as("ttf"),
+          max("max_tf").as("max_tf"), max("max_nb").as("max_nb"))
       val dict = StableIds.attach(termAgg, Seq(col("term")), "term_id",
         math.max(p / 4, 8))
-      dict.select("term", "term_id", "df", "ttf")
+      dict.select("term", "term_id", "df", "ttf", "max_tf", "max_nb")
         .write.mode("overwrite").parquet(s"$outDir/termdict")
       dict.unpersist(blocking = false)
       manifest.commit("termdict", -1L, ms(t0), Some(s"$outDir/termdict"))

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Gate {
 
   /** Bump when the on-disk index layout changes (invalidates cached builds). */
-  final val Version = "v3"
+  final val Version = "v4"
 
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 

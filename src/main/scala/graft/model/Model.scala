@@ -35,7 +35,15 @@ final case class Run(
 /** Doc-norms sidecar row: emitted-token count and its lossy norm byte. */
 final case class NormRow(doc_id: Long, len: Int, norm: Byte)
 
-final case class TermDictRow(term: String, term_id: Long, df: Long, ttf: Long)
+/** Term-dictionary row. `max_tf`/`max_nb` are the term's GLOBAL block-max
+  * metadata (max tf over all postings; max unsigned norm byte = shortest
+  * matching doc): together they give a per-term global score upper bound, so
+  * the WAND kernel needs no metadata scan before pruning (the skip-list top
+  * level, held dictionary-side like the reference's in-RAM term index,
+  * /root/reference/src/Lucene.Net/Codecs/BlockTreeTermsWriter.cs:57-64).
+  */
+final case class TermDictRow(term: String, term_id: Long, df: Long, ttf: Long,
+                             max_tf: Int, max_nb: Int)
 
 /** Collection-level statistics
   * (/root/reference/src/Lucene.Net/Search/CollectionStatistics.cs:27-78).

@@ -98,31 +98,48 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
         hits.map(h => (h._1, h._3)) // single positive term: no grouping needed
       } else {
         val nMust = mustIds.size
-        hits.groupByKey(_._1).mapGroups { (docId, it) =>
-          val arr = it.toArray.sortBy(_._2) // ascending term_id (canonical order)
-          var mustSeen = 0
-          var shouldSeen = 0
-          var excluded = false
-          var score = 0.0f
-          var i = 0
-          while (i < arr.length) {
-            val (_, tid, s) = arr(i)
-            if (bNot.value.contains(tid)) excluded = true
-            else {
-              if (bMust.value.contains(tid)) mustSeen += 1 else shouldSeen += 1
-              score += s
-            }
-            i += 1
-          }
-          val ok = !excluded && mustSeen == nMust && shouldSeen >= mm &&
-            (mustSeen + shouldSeen) > 0
-          if (ok) (docId, score) else (docId, Float.NaN)
-        }.filter(r => !r._2.isNaN)
+        combineHits(hits, bMust, bNot, nMust, mm)
       }
 
     combined.toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Boolean combine as a sorted-shuffle streaming fold (rows arrive sorted
+    * by (doc_id, term_id), so the float32 accumulation is in the canonical
+    * ascending-term_id order with no per-doc array materialization).
+    */
+  private[query] def combineHits(
+      hits: org.apache.spark.sql.Dataset[(Long, Long, Float)],
+      bMust: org.apache.spark.broadcast.Broadcast[Set[Long]],
+      bNot: org.apache.spark.broadcast.Broadcast[Set[Long]],
+      nMust: Int, mm: Int): org.apache.spark.sql.Dataset[(Long, Float)] = {
+    hits.toDF("doc_id", "term_id", "s")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term_id")
+      .as[(Long, Long, Float)]
+      .mapPartitions { it =>
+        val must = bMust.value
+        val not = bNot.value
+        var mustSeen = 0
+        var shouldSeen = 0
+        var excluded = false
+        var score = 0.0f
+        Combine.fold[(Long, Long, Float)](it, _._1,
+          reset = () => { mustSeen = 0; shouldSeen = 0; excluded = false; score = 0.0f },
+          add = { case (_, tid, s) =>
+            if (not.contains(tid)) excluded = true
+            else {
+              if (must.contains(tid)) mustSeen += 1 else shouldSeen += 1
+              score += s
+            }
+          },
+          finish = _ =>
+            if (!excluded && mustSeen == nMust && shouldSeen >= mm &&
+              (mustSeen + shouldSeen) > 0) score
+            else Float.NaN)
+      }
   }
 
   /** Decode + score the postings blocks of the given terms.

@@ -10,29 +10,44 @@ import org.apache.spark.util.LongAccumulator
 /** Block-max pruned top-k search — the north rule's "block-max WAND scoring"
   * realized for a term-range-partitioned columnar postings layout.
   *
-  * Lucene 4.8 predates WAND (SURVEY.md §4.2); classic BMW
-  * (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max Indexes",
-  * SIGIR 2011) is doc-at-a-time over co-located per-doc posting cursors. A
-  * distributed term-partitioned scan has no cheap doc-at-a-time cursor
-  * alignment, so this kernel uses the rank-safe block-skipping form
-  * (MaxScore-style bound splitting over block-max metadata):
+  * Lucene 4.8 predates WAND (SURVEY.md §4.2); classic BMW (Ding & Suel,
+  * "Faster Top-k Document Retrieval Using Block-Max Indexes", SIGIR 2011) is
+  * doc-at-a-time over co-located per-doc posting cursors. A distributed
+  * term-partitioned scan has no cheap doc-at-a-time cursor alignment, so this
+  * kernel uses the rank-safe block-skipping form (MaxScore-style bound
+  * splitting over block-max metadata), as ONE job with no driver-side
+  * metadata collection (the round-1 shape collected one row per 128-doc
+  * block — a driver OOM at exactly the scale WAND exists for):
   *
-  *  1. bootstrap θ — decode the highest-upper-bound blocks of the
-  *     highest-weight (rarest) term and exact-score them; the k-th best
-  *     single-term score is a sound lower bound on the final k-th score
-  *     (other SHOULD clauses only add ≥ 0).
-  *  2. per-term global remainders — rest(i) = Σ_{j≠i} gmax_j where gmax_j is
-  *     term j's global block-max score (one tiny metadata aggregation).
-  *  3. pruned scan — a block b of term i is skipped without decoding iff
-  *     ub_i(b) + rest(i) ≤ θ: every doc in b scores at most that bound, so
-  *     none can enter the top k. Residual blocks decode + float32-score via
-  *     the shared Bm25 kernel; the combine is identical to the exhaustive
-  *     path — hence rank- AND score-identical results (equivalence-tested).
+  *  - per-term GLOBAL maxima come from the term dictionary (`max_tf`/`max_nb`
+  *    columns laid down at build time), so `rest(i) = Σ_{j≠i} gmax_j` is
+  *    driver-side arithmetic over the query's own terms — no metadata job.
+  *  - each scan partition keeps a k-heap of exact single-clause float scores
+  *    PER TERM; the k-th best score of one term is a sound lower bound θ on
+  *    the global k-th best total (k distinct docs of that term, and a
+  *    single clause score never exceeds the canonical float32 clause sum of
+  *    non-negative scores). θ only grows as blocks stream through
+  *    impact-ordered (best blocks first, IndexBuilder S4).
+  *  - a block b of term i is skipped without decoding iff
+  *    `bound(b) < θ` (STRICT — a block whose bound equals θ can still hold
+  *    docs scoring exactly θ that the exhaustive tie-break keeps), where
+  *    `bound(b) = (ub_i(b) + rest(i)) * slack` is computed in DOUBLE
+  *    precision and inflated by `slack = 1 + (n+4)·1.2e-7` so it dominates
+  *    the float32 canonical clause sum regardless of per-step float rounding
+  *    (each float op rounds within 2^-24 relative; n-term fold compounds n
+  *    of them — the double bound with slack is therefore ≥ every doc's true
+  *    float score in the block, making pruning rank- AND score-safe).
   *
-  * ub_i(b) = weightValue_i * max_tf / (max_tf + cache_i[max_nb]): score is
-  * monotone ↑tf and ↓cache; max_nb (largest norm byte = shortest doc) gives
-  * the smallest cache value (block-max metadata laid down at build time,
-  * graft.codec.PostingBlock).
+  * Residual blocks decode + float32-score via the shared Bm25 kernel and the
+  * combine is identical to the exhaustive path — any doc that could reach the
+  * top k has every one of its blocks scanned (its total ≤ each such block's
+  * bound, which is then ≥ θ), so results are rank- and score-identical
+  * (equivalence-tested in WandSpec).
+  *
+  * ub_i(b) = weightValue_i * max_tf / (max_tf + cache[max_nb]): the real
+  * function is monotone ↑tf and ↓cache; max_nb (largest norm byte = shortest
+  * doc) gives the smallest cache value (block-max metadata laid down at build
+  * time, graft.codec.PostingBlock).
   */
 final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializable {
   import spark.implicits._
@@ -40,7 +55,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
   private val base = new Searcher(spark, indexDir)
   private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
-  /** Blocks skipped by the last search (for tests/metrics). */
+  /** Blocks skipped/scanned by the last search (for tests/metrics). */
   @transient var lastSkipped: Option[LongAccumulator] = None
   @transient var lastScanned: Option[LongAccumulator] = None
 
@@ -55,8 +70,12 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       base.search(other, k)
   }
 
-  private def ub(w: Bm25.TermWeight, maxTf: Int, maxNb: Int): Float =
-    Bm25.score(w.weightValue, maxTf.toFloat, w.cache, maxNb.toByte)
+  /** Double-precision per-term upper bound from (max_tf, max_nb) metadata. */
+  private def ubD(w: Bm25.TermWeight, maxTf: Int, maxNb: Int): Double = {
+    val c = w.cache(maxNb & 0xff).toDouble
+    if (c.isInfinity) 0.0
+    else w.weightValue.toDouble * maxTf / (maxTf + c)
+  }
 
   private def searchShould(terms: Seq[String], k: Int, boost: Float): DataFrame = {
     val dict: Map[String, TermDictRow] = base.lookup(terms.distinct)
@@ -65,87 +84,65 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val weights: Map[Long, Bm25.TermWeight] = dict.values.map { d =>
       d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, boost)
     }.toMap
-    val ids = weights.keySet.toSeq
+    val ids = weights.keySet.toSeq.sorted
 
-    // ---- one metadata-only job: per-block (term_id, first_doc, ub inputs) --
-    // Block metadata is ~1/128th of the postings; collecting it driver-side
-    // gives both the per-term global maxima AND the bootstrap block choice
-    // without per-term jobs.
-    val meta = postings
-      .filter(col("term_id").isin(ids: _*))
-      .select("term_id", "first_doc", "max_tf", "max_nb")
-      .as[(Long, Long, Int, Int)].collect()
-    val gmax: Map[Long, Float] = meta.groupBy(_._1).map { case (tid, ms) =>
-      tid -> ms.map(m => ub(weights(tid), m._3, m._4)).max
-    }
-    val rest: Map[Long, Float] =
-      ids.map(i => i -> ids.filter(_ != i).map(j => gmax.getOrElse(j, 0.0f)).sum).toMap
+    // ---- driver-side bound algebra (query-terms-sized, no jobs) -----------
+    val slack: Double = 1.0 + (ids.size + 4) * 1.2e-7
+    val gmaxD: Map[Long, Double] = dict.values.map { d =>
+      d.term_id -> ubD(weights(d.term_id), d.max_tf, d.max_nb)
+    }.toMap
+    val restD: Map[Long, Double] =
+      ids.map(i => i -> ids.iterator.filter(_ != i).map(gmaxD).sum).toMap
 
-    // ---- bootstrap θ: per-doc PARTIAL sums over every term's best blocks ---
-    // A doc's partial sum over any subset of its matching terms is a lower
-    // bound of its total score, so the k-th best partial sum is a sound
-    // starting threshold. One fetch job for all chosen blocks.
-    val nBlocks = math.max(1, k / PostingCodec.BlockSize + 1)
-    val chosen: Set[(Long, Long)] = meta.groupBy(_._1).iterator.flatMap { case (tid, ms) =>
-      val w = weights(tid)
-      ms.sortBy(m => -ub(w, m._3, m._4)).take(nBlocks).map(m => (tid, m._2))
-    }.toSet
-    val bootBlocks =
-      if (chosen.isEmpty) Array.empty[PostingBlock]
-      else postings
-        .filter(col("term_id").isin(ids: _*))
-        // pushdown-friendly superset filter, then the exact pair filter
-        .filter(col("first_doc").isin(chosen.map(_._2).toSeq: _*))
-        .as[PostingBlock]
-        .filter(b => chosen.contains((b.term_id, b.first_doc)))
-        .collect()
-    val partial = new scala.collection.mutable.HashMap[Long, Float]()
-    bootBlocks.foreach { b =>
-      val w = weights(b.term_id)
-      val (docs, tfs, nbs) = PostingCodec.decode(b)
-      docs.indices.foreach { i =>
-        val s = Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i))
-        partial.updateWith(docs(i)) { case Some(x) => Some(x + s); case None => Some(s) }
-      }
-    }
-    val bootScores = partial.values.toArray.sorted(Ordering[Float].reverse)
-    val theta: Float =
-      if (bootScores.length >= k) bootScores(k - 1) else Float.NegativeInfinity
-
-    // ---- pruned scan + exhaustive-identical combine ------------------------
+    // ---- single pruned-scan job, exhaustive-identical combine -------------
     val skipped = spark.sparkContext.longAccumulator("wand.skippedBlocks")
     val scanned = spark.sparkContext.longAccumulator("wand.scannedBlocks")
     lastSkipped = Some(skipped)
     lastScanned = Some(scanned)
     val bw = spark.sparkContext.broadcast(weights)
-    val bRest = spark.sparkContext.broadcast(rest)
+    val bRest = spark.sparkContext.broadcast(restD)
     val singleTerm = ids.size == 1
+    val kk = k
 
     val hits = postings
       .filter(col("term_id").isin(ids: _*))
       .as[PostingBlock]
-      .flatMap { b =>
-        val w = bw.value(b.term_id)
-        val bound = Bm25.score(w.weightValue, b.max_tf.toFloat, w.cache, b.max_nb.toByte) +
-          bRest.value(b.term_id)
-        if (bound <= theta) {
-          skipped.add(1)
-          Iterator.empty
-        } else {
-          scanned.add(1)
-          val (docs, tfs, nbs) = PostingCodec.decode(b)
-          docs.indices.iterator.map { i =>
-            (docs(i), b.term_id, Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i)))
+      .mapPartitions { blocks =>
+        val w = bw.value
+        val rest = bRest.value
+        // per-term min-heaps of the k best exact clause scores seen so far
+        val heaps = new scala.collection.mutable.HashMap[Long, java.util.PriorityQueue[java.lang.Float]]()
+        var theta = Double.NegativeInfinity
+        blocks.flatMap { b =>
+          val tw = w(b.term_id)
+          val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
+          if (bound < theta) {
+            skipped.add(1)
+            Iterator.empty
+          } else {
+            scanned.add(1)
+            val heap = heaps.getOrElseUpdate(b.term_id,
+              new java.util.PriorityQueue[java.lang.Float](kk + 1))
+            val (docs, tfs, nbs) = PostingCodec.decode(b)
+            docs.indices.iterator.map { i =>
+              val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
+              if (heap.size < kk) heap.offer(s)
+              else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+              if (heap.size == kk) {
+                val cand = heap.peek().toDouble
+                if (cand > theta) theta = cand
+              }
+              (docs(i), b.term_id, s)
+            }
           }
         }
       }
 
     val combined =
       if (singleTerm) hits.map(h => (h._1, h._3))
-      else hits.groupByKey(_._1).mapGroups { (docId, it) =>
-        // ascending term_id: the canonical float32 clause-sum order
-        val arr = it.toArray.sortBy(_._2)
-        (docId, Bm25.sumClauses(arr.map(_._3)))
+      else {
+        val empty = spark.sparkContext.broadcast(Set.empty[Long])
+        base.combineHits(hits, empty, empty, nMust = 0, mm = 0)
       }
 
     combined.toDF("doc_id", "score")

@@ -99,20 +99,29 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
 
     val hits = perSegment.reduce(_ union _)
     val nMust = mustSet.count(dict.contains)
-    val combined = hits.groupByKey(_._1).mapGroups { (docId, it) =>
-      val arr = it.toArray.sortBy(_._2) // ascending clause = canonical order
-      var mustSeen = 0
-      var shouldSeen = 0
-      var excluded = false
-      var score = 0.0f
-      arr.foreach { case (_, _, s, isMust, isNot) =>
-        if (isNot) excluded = true
-        else { if (isMust) mustSeen += 1 else shouldSeen += 1; score += s }
+    // Sorted-shuffle streaming fold (same shape as Searcher.combineHits):
+    // rows arrive sorted by (doc_id, clause), so the float32 accumulation is
+    // in canonical ascending-clause order with no per-doc array.
+    val combined = hits.toDF("doc_id", "clause", "s", "is_must", "is_not")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "clause")
+      .as[(Long, Int, Float, Boolean, Boolean)]
+      .mapPartitions { it =>
+        var mustSeen = 0
+        var shouldSeen = 0
+        var excluded = false
+        var score = 0.0f
+        graft.query.Combine.fold[(Long, Int, Float, Boolean, Boolean)](it, _._1,
+          reset = () => { mustSeen = 0; shouldSeen = 0; excluded = false; score = 0.0f },
+          add = { case (_, _, s, isMust, isNot) =>
+            if (isNot) excluded = true
+            else { if (isMust) mustSeen += 1 else shouldSeen += 1; score += s }
+          },
+          finish = _ =>
+            if (!excluded && mustSeen == nMust && shouldSeen >= mm &&
+              (mustSeen + shouldSeen) > 0) score
+            else Float.NaN)
       }
-      val ok = !excluded && mustSeen == nMust && shouldSeen >= mm &&
-        (mustSeen + shouldSeen) > 0
-      if (ok) (docId, score) else (docId, Float.NaN)
-    }.filter(r => !r._2.isNaN)
 
     combined.toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))

@@ -63,4 +63,23 @@ class WandSpec extends AnyFunSuite {
   test("k larger than total hits") {
     both(Query.Term("w001234"), k = 10000)
   }
+
+  test("tight score ties: every block bound equals theta, nothing lost") {
+    // Adversarial corpus for the skip condition: every doc is identical
+    // (tf=1, same length), so every posting scores exactly the same and every
+    // block's upper bound EQUALS the threshold. A non-strict skip
+    // (bound <= theta) would prune all blocks and return 0 rows; the strict
+    // rule must keep them and match the exhaustive tie-break (doc_id asc).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wand_ties").toString
+    val docs = (0L until 600L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    IndexBuilder.build(docs, dir)
+    val ex = new Searcher(spark, dir)
+    val wd = new WandSearcher(spark, dir)
+    val q = Query.Term("alpha")
+    val a = ex.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = wd.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.map(_._1) == (0L until 10L))
+  }
 }
