@@ -94,6 +94,27 @@ object Analyzer extends Serializable {
   def terms(text: String): Array[String] =
     rawTokens(text).iterator.filter(t => t != null && !Stopwords.contains(t)).toArray
 
+  /** Indexing path with positions: per-term sorted position lists (tf =
+    * list length) plus the emitted-token count. A position is the raw token
+    * ordinal — stopword and overlong holes still consume one position, which
+    * is exactly the accumulated position-increment bookkeeping of the
+    * reference's DocInverter
+    * (/root/reference/src/Lucene.Net/Index/DocInverterPerField.cs:131-195).
+    */
+  def termPositions(text: String): (mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int) = {
+    val m = new mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
+    var len = 0
+    var p = -1
+    rawTokens(text).foreach { t =>
+      p += 1
+      if (t != null && !Stopwords.contains(t)) {
+        m.getOrElseUpdate(t, new mutable.ArrayBuffer[Int](1)) += p
+        len += 1
+      }
+    }
+    (m, len)
+  }
+
   /** Indexing fast path: per-term frequency map plus emitted-token count
     * (the BM25 norm length; counts only emitted tokens, SURVEY.md §2.4 item 1).
     */

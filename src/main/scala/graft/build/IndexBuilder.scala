@@ -145,7 +145,8 @@ object IndexBuilder {
     val docmapRuns = new mutable.ArrayBuffer[Run]()
     def flushDocmap(): Unit = if (local >= chunkStart) {
       docmapRuns += Run(pid, DocmapKey, chunkStart, local, (local - chunkStart + 1).toInt,
-        0L, 0, 0, Array.emptyByteArray, Array.emptyByteArray, payload.toByteArray)
+        0L, 0, 0, Array.emptyByteArray, Array.emptyByteArray, payload.toByteArray,
+        Array.emptyByteArray)
       payload.reset()
       chunkStart = local + 1
     }
@@ -308,7 +309,7 @@ object IndexBuilder {
   final case class KeyedRun(
       term_id: Long, first_doc: Long, last_doc: Long, cnt: Int, sum_tf: Long,
       max_tf: Int, max_nb: Int, doc_bytes: Array[Byte], tf_bytes: Array[Byte],
-      norm_bytes: Array[Byte])
+      norm_bytes: Array[Byte], pos_bytes: Array[Byte])
 
   private def partitions(spark: SparkSession, opts: Options): Int =
     if (opts.numPartitions > 0) opts.numPartitions
@@ -327,42 +328,47 @@ object IndexBuilder {
       val docs = new mutable.ArrayBuffer[Long]()
       val tfs = new mutable.ArrayBuffer[Int]()
       val norms = new mutable.ArrayBuffer[Byte]()
+      val poss = new mutable.ArrayBuffer[Array[Int]]()
     }
     val terms = new mutable.HashMap[String, Acc]()
     val normDocs = new mutable.ArrayBuffer[Long]()
     val normLens = new mutable.ArrayBuffer[Int]()
     it.foreach { case (docId, text) =>
-      val (tf, len) = Analyzer.termFreqs(if (text == null) "" else text)
+      val (tp, len) = Analyzer.termPositions(if (text == null) "" else text)
       val nb = SmallFloat.encodeNorm(len)
       normDocs += docId
       normLens += len
-      tf.foreach { case (t, f) =>
+      tp.foreach { case (t, ps) =>
         val acc = terms.getOrElseUpdate(t, new Acc)
         acc.docs += docId
-        acc.tfs += f
+        acc.tfs += ps.length
         acc.norms += nb
+        acc.poss += ps.toArray
       }
     }
     val termRuns = terms.iterator.flatMap { case (term, acc) =>
-      chunkedRuns(pid, term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray)
+      chunkedRuns(pid, term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray,
+        acc.poss.toArray)
     }
     val normsRun =
       if (normDocs.isEmpty) Iterator.empty
       else chunkedRuns(pid, NormsKey, normDocs.toArray, normLens.toArray,
-        new Array[Byte](normDocs.length))
+        new Array[Byte](normDocs.length), null)
     termRuns ++ normsRun
   }
 
   private def chunkedRuns(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
-                          norms: Array[Byte]): Iterator[Run] =
-    if (docs.length <= RunMaxPostings) Iterator.single(encodeRunRow(pid, term, docs, tfs, norms))
+                          norms: Array[Byte], poss: Array[Array[Int]]): Iterator[Run] =
+    if (docs.length <= RunMaxPostings)
+      Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss))
     else docs.indices.grouped(RunMaxPostings).map { idxs =>
       val (a, b) = (idxs.head, idxs.last + 1)
-      encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b))
+      encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b),
+        if (poss == null) null else poss.slice(a, b))
     }
 
   private def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
-                           norms: Array[Byte]): Run = {
+                           norms: Array[Byte], poss: Array[Array[Int]]): Run = {
     val gaps = new Array[Long](docs.length - 1)
     var i = 1
     while (i < docs.length) {
@@ -383,7 +389,8 @@ object IndexBuilder {
       i += 1
     }
     Run(pid, term, docs.head, docs.last, docs.length, sumTf, maxTf, maxNb,
-      ForCodec.pack(gaps), ForCodec.pack(tfs.map(_.toLong)), norms)
+      ForCodec.pack(gaps), ForCodec.pack(tfs.map(_.toLong)), norms,
+      if (poss == null) Array.emptyByteArray else PostingCodec.packPositions(poss))
   }
 
   private def decodeRun(r: Run): (Array[Long], Array[Int], Array[Byte]) = {
@@ -418,14 +425,16 @@ object IndexBuilder {
           val docs = new mutable.ArrayBuffer[Long]()
           val tfs = new mutable.ArrayBuffer[Int]()
           val norms = new mutable.ArrayBuffer[Byte]()
+          val poss = new mutable.ArrayBuffer[Array[Int]]()
           while (buf.hasNext && buf.head.term_id == tid) {
             val r = buf.next()
             val (d, t, n) = decodeRun(
               Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
-                r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes))
+                r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes, r.pos_bytes))
             docs ++= d
             tfs ++= t
             norms ++= n
+            poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
           }
           val n = docs.length
           val idx = Array.range(0, n)
@@ -441,7 +450,8 @@ object IndexBuilder {
           pending = sortedIdx.iterator.grouped(PostingCodec.BlockSize).flatMap { chunk =>
             val byDoc = chunk.toArray.sortBy(docs(_))
             PostingCodec.encodeRun(tid,
-              byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)))
+              byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)),
+              byDoc.map(poss(_)))
           }
         }
         pending.next()

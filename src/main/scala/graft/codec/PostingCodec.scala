@@ -1,7 +1,8 @@
 package graft.codec
 
-/** One compressed posting block: up to `BlockSize` (doc, tf, norm) postings of a
-  * single term, doc-sorted. This is the row type of the `postings` table.
+/** One compressed posting block: up to `BlockSize` (doc, tf, norm, positions)
+  * postings of a single term, doc-sorted. This is the row type of the
+  * `postings` table.
   *
   * Design notes (SURVEY.md §1.2/§2.3): docIDs are delta-encoded gaps in a FOR
   * bit-packed cell (reference semantics:
@@ -14,6 +15,13 @@ package graft.codec
   * which random-accesses a separate norms file; a distributed scan cannot
   * cheaply do per-doc random access, and +1 byte/posting is the scale-correct
   * trade).
+  *
+  * `pos_bytes` is the DOCS_AND_FREQS_AND_POSITIONS payload
+  * (/root/reference/src/Lucene.Net/Index/FieldInfo.cs:315-355): per posting,
+  * tf varint-delta-encoded token positions (stopword/overlong holes counted,
+  * StandardTokenizer position-increment semantics). It lives in its own
+  * Parquet column, so scoring-only scans that deserialize [[ScoreBlock]]
+  * never read it — the columnar analog of Lucene's separate `.pos` file.
   *
   * `max_nb` = max unsigned norm byte in the block = the shortest-document norm
   * (NORM_TABLE is decreasing in unsigned byte), giving the smallest BM25
@@ -28,17 +36,53 @@ final case class PostingBlock(
     doc_bytes: Array[Byte],
     tf_bytes: Array[Byte],
     norm_bytes: Array[Byte],
+    pos_bytes: Array[Byte],
     max_tf: Int,
     max_nb: Int)
+
+/** Scoring-path projection of [[PostingBlock]] — everything BM25 needs and
+  * nothing else, so Parquet column pruning skips the positions payload
+  * (`select(ScoreBlock.cols).as[ScoreBlock]`).
+  */
+final case class ScoreBlock(
+    term_id: Long,
+    first_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    max_tf: Int,
+    max_nb: Int)
+
+object ScoreBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "cnt", "doc_bytes",
+    "tf_bytes", "norm_bytes", "max_tf", "max_nb")
+}
+
+/** Positions-path projection: postings plus the positions payload. */
+final case class PosBlock(
+    term_id: Long,
+    first_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    pos_bytes: Array[Byte])
+
+object PosBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "cnt", "doc_bytes",
+    "tf_bytes", "norm_bytes", "pos_bytes")
+}
 
 object PostingCodec {
   final val BlockSize = 128
 
   /** Encode one sorted posting run (single term, strictly increasing docIds)
-    * into blocks of up to BlockSize entries.
+    * into blocks of up to BlockSize entries. `poss(i)` is posting i's sorted
+    * position list (length tfs(i)); pass null for a positions-less run.
     */
   def encodeRun(termId: Long, docIds: Array[Long], tfs: Array[Int],
-                norms: Array[Byte]): Iterator[PostingBlock] = {
+                norms: Array[Byte], poss: Array[Array[Int]]): Iterator[PostingBlock] = {
     require(docIds.length == tfs.length && docIds.length == norms.length)
     docIds.indices.iterator.grouped(BlockSize).map { idxs =>
       val n = idxs.length
@@ -64,25 +108,90 @@ object PostingCodec {
       val normArr = new Array[Byte](n)
       j = 0
       while (j < n) { normArr(j) = norms(idxs(j)); j += 1 }
+      val posBytes =
+        if (poss == null) Array.emptyByteArray
+        else {
+          val sel = new Array[Array[Int]](n)
+          j = 0
+          while (j < n) { sel(j) = poss(idxs(j)); j += 1 }
+          packPositions(sel)
+        }
       PostingBlock(termId, first, docIds(idxs.last), n,
-        ForCodec.pack(gaps), ForCodec.pack(tfl), normArr, maxTf, maxNb)
+        ForCodec.pack(gaps), ForCodec.pack(tfl), normArr, posBytes, maxTf, maxNb)
     }
   }
 
-  /** Decode a block back to parallel (docIds, tfs, norms) arrays. */
-  def decode(b: PostingBlock): (Array[Long], Array[Int], Array[Byte]) = {
-    val gaps = ForCodec.unpack(b.doc_bytes)
-    val tfl = ForCodec.unpack(b.tf_bytes)
-    val docs = new Array[Long](b.cnt)
-    val tfs = new Array[Int](b.cnt)
+  /** Per-posting position lists -> one varint-delta byte stream (first
+    * position absolute, then gaps; list lengths come from the tf cells).
+    */
+  def packPositions(poss: Array[Array[Int]]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(poss.length * 2)
     var i = 0
-    var doc = b.first_doc
-    while (i < b.cnt) {
+    while (i < poss.length) {
+      val ps = poss(i)
+      var prev = 0
+      var j = 0
+      while (j < ps.length) {
+        ForCodec.writeVarLong(buf, (ps(j) - prev).toLong)
+        prev = ps(j)
+        j += 1
+      }
+      i += 1
+    }
+    buf.toByteArray
+  }
+
+  /** Inverse of [[packPositions]]; `tfs` gives each posting's list length. */
+  def unpackPositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val r = new ForCodec.Reader(bytes, 0)
+    val out = new Array[Array[Int]](tfs.length)
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var prev = 0
+      var j = 0
+      while (j < ps.length) {
+        prev += r.readVarLong().toInt
+        ps(j) = prev
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
+  private def decodeCore(firstDoc: Long, cnt: Int, docBytes: Array[Byte],
+                         tfBytes: Array[Byte]): (Array[Long], Array[Int]) = {
+    val gaps = ForCodec.unpack(docBytes)
+    val tfl = ForCodec.unpack(tfBytes)
+    val docs = new Array[Long](cnt)
+    val tfs = new Array[Int](cnt)
+    var i = 0
+    var doc = firstDoc
+    while (i < cnt) {
       if (i > 0) doc += gaps(i - 1)
       docs(i) = doc
       tfs(i) = tfl(i).toInt
       i += 1
     }
+    (docs, tfs)
+  }
+
+  /** Decode a block back to parallel (docIds, tfs, norms) arrays. */
+  def decode(b: PostingBlock): (Array[Long], Array[Int], Array[Byte]) = {
+    val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
     (docs, tfs, b.norm_bytes)
+  }
+
+  def decode(b: ScoreBlock): (Array[Long], Array[Int], Array[Byte]) = {
+    val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
+    (docs, tfs, b.norm_bytes)
+  }
+
+  /** Decode a positions-projection block: (docIds, tfs, norms, positions). */
+  def decodePos(b: PosBlock): (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = {
+    val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
+    (docs, tfs, b.norm_bytes, unpackPositions(b.pos_bytes, tfs))
   }
 }

@@ -2,7 +2,7 @@ package graft.gate
 
 import graft.analysis.Analyzer
 import graft.build.IndexBuilder
-import graft.codec.{PostingBlock, PostingCodec}
+import graft.codec.{PosBlock, PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Gate {
 
   /** Bump when the on-disk index layout changes (invalidates cached builds). */
-  final val Version = "v4"
+  final val Version = "v5"
 
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -96,7 +96,8 @@ object Gate {
     val bw = spark.sparkContext.broadcast(weights)
     spark.read.parquet(s"$idx/postings")
       .filter(col("term_id").isin(weights.keySet.toSeq: _*))
-      .as[PostingBlock]
+      .select(ScoreBlock.cols.map(col): _*) // prunes the positions column
+      .as[ScoreBlock]
       .flatMap { b =>
         val (docs, tfs, nbs) = PostingCodec.decode(b)
         val (term, w) = bw.value(b.term_id)
@@ -105,6 +106,34 @@ object Gate {
         }
       }
       .toDF("doc_id", "term", "s")
+  }
+
+  /** Per-(doc, term) positions decoded from the postings positions column
+    * (DOCS_AND_FREQS_AND_POSITIONS read path). Returns
+    * (doc_id LONG, term STRING, nb INT, pos ARRAY<INT>); positions are
+    * 0-based raw-token ordinals (stopword holes counted).
+    */
+  def posHits(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val dict = termdict(spark, idx)
+      .filter(col("term").isin(terms.distinct: _*))
+      .as[TermDictRow].collect()
+    val names: Map[Long, String] = dict.map(d => d.term_id -> d.term).toMap
+    if (names.isEmpty)
+      return spark.emptyDataset[(Long, String, Int, Array[Int])]
+        .toDF("doc_id", "term", "nb", "pos")
+    val bn = spark.sparkContext.broadcast(names)
+    spark.read.parquet(s"$idx/postings")
+      .filter(col("term_id").isin(names.keySet.toSeq: _*))
+      .select(PosBlock.cols.map(col): _*)
+      .as[PosBlock]
+      .flatMap { b =>
+        val (docs, _, nbs, poss) = PostingCodec.decodePos(b)
+        val term = bn.value(b.term_id)
+        docs.indices.iterator.map(i => (docs(i), term, nbs(i) & 0xff, poss(i)))
+      }
+      .toDF("doc_id", "term", "nb", "pos")
   }
 
   private def emptyHits(spark: SparkSession): DataFrame = {
@@ -164,7 +193,8 @@ object Gate {
         .select("term_id").as[Long].head()
       s.read.parquet(s"$idx/postings")
         .filter(col("term_id") === tid)
-        .as[PostingBlock]
+        .select(ScoreBlock.cols.map(col): _*)
+        .as[ScoreBlock]
         .flatMap { b =>
           val (docs, tfs, _) = PostingCodec.decode(b)
           docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
@@ -195,6 +225,8 @@ object Gate {
         .groupBy("doc_id")
         .agg((max("s") + lit(0.1) * (sum("s") - max("s"))).as("sd")), 10)),
     "ft_q_phrase" -> ((s, d) => phraseQuery(s, d, "fast", "table", 10)),
+    "ft_q_phrase_sloppy" -> ((s, d) => sloppyPhraseQuery(s, d, "fast", "merge", 2, 10)),
+    "ft_span_near" -> ((s, d) => spanNearQuery(s, d, "scan", "group", 3)),
     // --- MultiTermQuery rewrites: prefix / wildcard / fuzzy / range --------
     "ft_q_prefix" -> ((s, d) =>
       topkSum(s, d, expand(s, d, col("term").like("s%")), 10)),
@@ -343,10 +375,31 @@ object Gate {
       .groupBy("doc_id").agg(sum("s").as("sd")), k)
   }
 
-  /** Exact PhraseQuery (slop 0): MUST-conjunction candidates from the index,
-    * phrase frequency re-derived from stored text positions (StopFilter holes
-    * included — positions are raw-token ordinals, matching the reference's
-    * position-increment bookkeeping), BM25 with summed idf and freq = pf.
+  /** Summed-idf phrase weight * 2.2 — same shape as the oracle SQL. */
+  private def phraseWeight(spark: SparkSession, idx: String, n: Long,
+                           t1: String, t2: String): Option[Double] = {
+    import spark.implicits._
+    val dict = termdict(spark, idx)
+      .filter(col("term").isin(t1, t2)).as[TermDictRow].collect()
+      .map(r => r.term -> r.df).toMap
+    if (!dict.contains(t1) || !dict.contains(t2)) None
+    else Some((math.log(1.0 + (n - dict(t1) + 0.5) / (dict(t1) + 0.5)) +
+      math.log(1.0 + (n - dict(t2) + 0.5) / (dict(t2) + 0.5))) * 2.2)
+  }
+
+  /** Two-term positions join from the index — (doc_id, nb, pos1, pos2). */
+  private def posPairs(spark: SparkSession, sfDir: String, t1: String, t2: String) = {
+    import spark.implicits._
+    val ph = posHits(spark, sfDir, Seq(t1, t2))
+    val a = ph.filter(col("term") === t1).select(col("doc_id"), col("nb"), col("pos").as("pos1"))
+    val b = ph.filter(col("term") === t2).select(col("doc_id"), col("pos").as("pos2"))
+    a.join(b, "doc_id").as[(Long, Int, Seq[Int], Seq[Int])]
+  }
+
+  /** Exact PhraseQuery (slop 0) scored from the postings POSITIONS index —
+    * no stored-text re-derivation (ExactPhraseScorer semantics,
+    * /root/reference/src/Lucene.Net/Search/ExactPhraseScorer.cs:237-349):
+    * pf = alignments with pos2 = pos1 + 1, BM25 with summed idf, freq = pf.
     */
   def phraseQuery(spark: SparkSession, sfDir: String, t1: String, t2: String,
                   k: Int): DataFrame = {
@@ -355,42 +408,72 @@ object Gate {
     val st = stats(spark, idx)
     val n = st.max_doc
     val avgdl = st.sum_ttf.toDouble / n
-    val dict = termdict(spark, idx)
-      .filter(col("term").isin(t1, t2)).as[TermDictRow].collect()
-      .map(r => r.term -> r.df).toMap
-    if (!dict.contains(t1) || !dict.contains(t2))
-      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "score_q")
-    // idf sum in clause order, then * 2.2 — same shape as the oracle SQL.
-    val isum2 =
-      (math.log(1.0 + (n - dict(t1) + 0.5) / (dict(t1) + 0.5)) +
-        math.log(1.0 + (n - dict(t2) + 0.5) / (dict(t2) + 0.5))) * 2.2
-    val cand = hits(spark, sfDir, Seq(t1, t2))
-      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      .filter(col("nt") === 2)
-      .select("doc_id")
-    val norms = spark.read.parquet(s"$idx/norms")
-      .select(col("doc_id"), (col("norm").cast("int").bitwiseAND(lit(255))).as("nb"))
-    val pf = cand
-      .join(docsTable(spark, sfDir).select("doc_id", "text"), "doc_id")
-      .as[(Long, String)]
-      .map { case (docId, text) =>
-        // raw-token positions: every split token consumes one position
-        val raw = text.split(" ", -1)
-        var c = 0
-        var i = 0
-        while (i < raw.length - 1) {
-          if (raw(i) == t1 && raw(i + 1) == t2) c += 1
-          i += 1
-        }
-        (docId, c)
+    val isum2 = phraseWeight(spark, idx, n, t1, t2).getOrElse(
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "score_q"))
+    val scored = posPairs(spark, sfDir, t1, t2)
+      .map { case (docId, nb, pos1, pos2) =>
+        val set2 = pos2.toSet
+        val pf = pos1.count(p => set2.contains(p + 1))
+        (docId, if (pf > 0) hitScore(pf, nb, isum2, avgdl) else Double.NaN)
       }
-      .toDF("doc_id", "pf")
-      .filter(col("pf") > 0)
-    val scored = pf.join(norms, "doc_id")
-      .as[(Long, Int, Int)]
-      .map { case (docId, pfv, nb) => (docId, hitScore(pfv, nb, isum2, avgdl)) }
+      .filter(!_._2.isNaN)
       .toDF("doc_id", "sd")
     rank(scored, k)
+  }
+
+  /** Sloppy PhraseQuery (slop=2) from the positions index: each t1 occurrence
+    * contributes SloppyFreq = 1/(d+1) for its nearest in-slop t2 partner,
+    * d = |pos2 - pos1 - 1| (weighting per
+    * /root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77;
+    * window algorithm simplified as documented in [[graft.query.Query.Phrase]]).
+    */
+  def sloppyPhraseQuery(spark: SparkSession, sfDir: String, t1: String, t2: String,
+                        slop: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val st = stats(spark, idx)
+    val n = st.max_doc
+    val avgdl = st.sum_ttf.toDouble / n
+    val isum2 = phraseWeight(spark, idx, n, t1, t2).getOrElse(
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "score_q"))
+    val scored = posPairs(spark, sfDir, t1, t2)
+      .map { case (docId, nb, pos1, pos2) =>
+        var pf = 0.0
+        pos1.foreach { p1 =>
+          var best = Int.MaxValue
+          pos2.foreach { p2 =>
+            val d = math.abs(p2 - p1 - 1)
+            if (d < best) best = d
+          }
+          if (best <= slop) pf += 1.0 / (best + 1)
+        }
+        (docId, if (pf > 0) isum2 * pf / (pf + 1.2 * (0.25 + 0.75 * normValue(nb) / avgdl))
+                else Double.NaN)
+      }
+      .filter(!_._2.isNaN)
+      .toDF("doc_id", "sd")
+    rank(scored, k)
+  }
+
+  /** Ordered SpanNearQuery analog from the positions index: matches = ordered
+    * (p1, p2) pairs with 1 <= p2 - p1 <= window (span algebra over the
+    * positions table; /root/reference/src/Lucene.Net/Search/Spans/NearSpansOrdered.cs
+    * semantics collapsed to a pair count).
+    */
+  def spanNearQuery(spark: SparkSession, sfDir: String, t1: String, t2: String,
+                    window: Int): DataFrame = {
+    import spark.implicits._
+    posPairs(spark, sfDir, t1, t2)
+      .map { case (docId, _, pos1, pos2) =>
+        var m = 0L
+        pos1.foreach { p1 =>
+          pos2.foreach { p2 => if (p2 - p1 >= 1 && p2 - p1 <= window) m += 1 }
+        }
+        (docId, m)
+      }
+      .filter(_._2 > 0)
+      .toDF("doc_id", "matches")
+      .orderBy("doc_id")
   }
 
   /** SearchAfter paging: page 2 (ranks 11-20) of a term query — the collector
@@ -597,7 +680,9 @@ object Gate {
       .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("raw_tokens"))
     val distinctTerms = {
       import spark.implicits._
-      spark.read.parquet(s"$idx/postings").as[PostingBlock]
+      spark.read.parquet(s"$idx/postings")
+        .select(ScoreBlock.cols.map(col): _*)
+        .as[ScoreBlock]
         .flatMap { b =>
           val (docs, _, _) = PostingCodec.decode(b)
           docs.iterator.map(d => (d, b.term_id))

@@ -117,6 +117,28 @@ object GateOracle {
          |  ${qz(s"isum.v * 2.2 * ph.pf / (ph.pf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl))")} AS score_q
          |FROM ph JOIN nrm r USING (doc_id) CROSS JOIN isum CROSS JOIN st
          |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_phrase_sloppy" ->
+      s"""$prelude, nearest AS (
+         |  SELECT a.doc_id, a.p, min(abs(b.p - a.p - 1)) AS d
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND abs(b.p - a.p - 1) <= 2
+         |  WHERE a.t = 'fast' AND b.t = 'merge'
+         |  GROUP BY a.doc_id, a.p
+         |), ph AS (
+         |  SELECT doc_id, sum(1.0 / (d + 1)) AS pf FROM nearest GROUP BY doc_id
+         |), isum AS (
+         |  SELECT (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'fast')
+         |       + (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'merge') AS v
+         |)
+         |SELECT ph.doc_id,
+         |  ${qz(s"isum.v * 2.2 * ph.pf / (ph.pf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl))")} AS score_q
+         |FROM ph JOIN nrm r USING (doc_id) CROSS JOIN isum CROSS JOIN st
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_span_near" ->
+      s"""$prelude
+         |SELECT a.doc_id, count(*) AS matches
+         |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 1 AND 3
+         |WHERE a.t = 'scan' AND b.t = 'group'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_wildcard" -> topk("term LIKE 'w_ndow'"),
     "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),

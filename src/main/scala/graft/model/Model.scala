@@ -29,7 +29,8 @@ final case class Run(
     max_nb: Int,
     doc_bytes: Array[Byte], // ForCodec-packed gaps (cnt-1 values)
     tf_bytes: Array[Byte],  // ForCodec-packed tfs (cnt values)
-    norm_bytes: Array[Byte] // raw norm byte per posting
+    norm_bytes: Array[Byte], // raw norm byte per posting
+    pos_bytes: Array[Byte]  // varint-delta positions, tf per posting (may be empty)
 )
 
 /** Doc-norms sidecar row: emitted-token count and its lossy norm byte. */

@@ -15,8 +15,13 @@ import scala.collection.mutable
   */
 final class BruteForce(docs: Seq[(Long, String)]) {
 
+  private val positions: Seq[(Long, mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int)] =
+    docs.map { case (id, t) => val (tp, len) = Analyzer.termPositions(t); (id, tp, len) }
+
   private val analyzed: Seq[(Long, mutable.HashMap[String, Int], Int)] =
-    docs.map { case (id, t) => val (tf, len) = Analyzer.termFreqs(t); (id, tf, len) }
+    positions.map { case (id, tp, len) =>
+      (id, tp.map { case (t, ps) => t -> ps.length }, len)
+    }
 
   val maxDoc: Long = docs.size.toLong
   val sumTtf: Long = analyzed.map(_._3.toLong).sum
@@ -29,6 +34,48 @@ final class BruteForce(docs: Seq[(Long, String)]) {
   def search(q: Query, k: Int): Seq[(Long, Float)] = q match {
     case Query.Term(t, boost) => run(Query.Bool(should = Seq(t)), k, boost)
     case b: Query.Bool        => run(b, k, 1.0f)
+    case p: Query.Phrase      => runPhrase(p, k)
+  }
+
+  /** Exact/sloppy phrase oracle (same semantics contract as
+    * [[graft.query.Query.Phrase]]): freq from the per-doc position lists,
+    * weight = summed idf, scored with the shared Bm25 kernel.
+    */
+  private def runPhrase(p: Query.Phrase, k: Int): Seq[(Long, Float)] = {
+    val terms = p.terms
+    if (terms.exists(t => !df.contains(t))) return Nil
+    var idfSum = 0.0f
+    terms.foreach(t => idfSum += Bm25.idf(df(t), maxDoc))
+    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    val cache = Bm25.buildCache(Bm25.avgFieldLength(sumTtf, maxDoc))
+    val out = positions.flatMap { case (id, tp, len) =>
+      if (terms.exists(t => !tp.contains(t))) None
+      else {
+        val cp: Seq[Array[Int]] = terms.map(t => tp(t).toArray)
+        var pf = 0.0f
+        if (p.slop == 0) {
+          var c = 0
+          cp.head.foreach { p0 =>
+            if (cp.indices.drop(1).forall(i =>
+              java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0)) c += 1
+          }
+          pf = c.toFloat
+        } else {
+          cp(0).foreach { p1 =>
+            var best = Int.MaxValue
+            cp(1).foreach { p2 =>
+              val d = math.abs(p2 - p1 - 1)
+              if (d < best) best = d
+            }
+            if (best <= p.slop) pf += 1.0f / (best + 1)
+          }
+        }
+        if (pf > 0.0f)
+          Some((id, Bm25.score(weightValue, pf, cache, SmallFloat.encodeNorm(len))))
+        else None
+      }
+    }
+    out.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
   private def run(b: Query.Bool, k: Int, boost: Float): Seq[(Long, Float)] = {

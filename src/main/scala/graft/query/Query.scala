@@ -20,6 +20,21 @@ object Query {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 0) extends Query
 
+  /** Positional phrase query scored from the postings positions index.
+    *
+    * slop = 0 is the reference's exact phrase (conjunction + position
+    * alignment, freq = number of alignments,
+    * /root/reference/src/Lucene.Net/Search/ExactPhraseScorer.cs:237-349).
+    * slop > 0 (two terms) uses the reference's per-match weighting
+    * SloppyFreq = 1/(distance+1)
+    * (/root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77)
+    * summed over each leading-term occurrence's nearest in-slop partner —
+    * a documented simplification of SloppyPhraseScorer's repetition-handling
+    * window algorithm (724 LoC), identical whenever occurrences don't overlap.
+    */
+  final case class Phrase(terms: Seq[String], slop: Int = 0,
+                          boost: Float = 1.0f) extends Query
+
   /** Parse a tiny subset of the classic query syntax: whitespace-separated
     * clauses, `+term` = MUST, `-term` = MUST_NOT, bare = SHOULD. Terms are
     * analyzed with the same chain as indexing

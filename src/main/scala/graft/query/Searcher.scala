@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.codec.{PostingBlock, PostingCodec}
+import graft.codec.{PosBlock, PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import graft.score.Bm25
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -61,6 +61,7 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
   def search(q: Query, k: Int): DataFrame = q match {
     case Query.Term(t, boost) => search(Query.Bool(should = Seq(t)), k, boost)
     case b: Query.Bool        => search(b, k, 1.0f)
+    case p: Query.Phrase      => searchPhrase(p, k)
   }
 
   /** Per-doc scored hits for the positive clauses + the boolean combine.
@@ -150,7 +151,8 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
       : org.apache.spark.sql.Dataset[(Long, Long, Float)] = {
     postings
       .filter(col("term_id").isin(termIds: _*)) // pushed to Parquet row groups
-      .as[PostingBlock]
+      .select(ScoreBlock.cols.map(col): _*)     // prunes the positions column
+      .as[ScoreBlock]
       .flatMap { b =>
         val (docs, tfs, norms) = PostingCodec.decode(b)
         bw.value.get(b.term_id) match {
@@ -162,6 +164,90 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
             docs.iterator.map(d => (d, b.term_id, 0.0f))
         }
       }
+  }
+
+  /** Native phrase search from the positions index (ExactPhraseScorer /
+    * SloppyPhraseScorer semantics, see [[Query.Phrase]]): one postings scan
+    * that reads the pos_bytes column only for the phrase's terms, a sorted
+    * per-doc fold that aligns positions, then BM25 with freq = phrase
+    * frequency and weight = summed idf (float clause order =
+    * phrase term order, /root/reference/src/Lucene.Net/Search/PhraseQuery.cs
+    * weight construction).
+    */
+  private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
+    val terms = p.terms
+    require(terms.size >= 2, "phrase needs at least two terms")
+    require(p.slop == 0 || terms.size == 2, "sloppy phrase supports two terms")
+    val dict = lookup(terms.distinct)
+    if (terms.exists(t => !dict.contains(t))) return emptyResult
+    var idfSum = 0.0f
+    terms.foreach(t => idfSum += Bm25.idf(dict(t).df, stats.max_doc))
+    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
+    // clause order = phrase order; positions of clause i must sit at p0 + i
+    val tidOfClause: Array[Long] = terms.map(t => dict(t).term_id).toArray
+    val ids = tidOfClause.distinct.toSeq
+    val slop = p.slop
+    val nClauses = tidOfClause.length
+
+    val posHits = postings
+      .filter(col("term_id").isin(ids: _*))
+      .select(PosBlock.cols.map(col): _*)
+      .as[PosBlock]
+      .flatMap { b =>
+        val (docs, _, nbs, poss) = PostingCodec.decodePos(b)
+        docs.indices.iterator.map(i => (docs(i), b.term_id, nbs(i), poss(i)))
+      }
+
+    val bTid = spark.sparkContext.broadcast(tidOfClause)
+    val scored = posHits.toDF("doc_id", "term_id", "nb", "pos")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term_id")
+      .as[(Long, Long, Byte, Array[Int])]
+      .mapPartitions { it =>
+        val clauses = bTid.value
+        val nDistinct = clauses.distinct.length
+        val byTid = new scala.collection.mutable.HashMap[Long, Array[Int]]()
+        var nb: Byte = 0
+        Combine.fold[(Long, Long, Byte, Array[Int])](it, _._1,
+          reset = () => { byTid.clear() },
+          add = { case (_, tid, n, ps) => nb = n; byTid.update(tid, ps) },
+          finish = _ =>
+            if (byTid.size < nDistinct) Float.NaN
+            else {
+              val cp: Array[Array[Int]] = clauses.map(byTid)
+              var pf = 0.0f
+              if (slop == 0) {
+                var c = 0
+                cp(0).foreach { p0 =>
+                  var ok = true
+                  var i = 1
+                  while (ok && i < nClauses) {
+                    ok = java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0
+                    i += 1
+                  }
+                  if (ok) c += 1
+                }
+                pf = c.toFloat
+              } else {
+                // two-term sloppy: each leading occurrence contributes
+                // 1/(d+1) for its nearest in-slop partner (|p2 - p1 - 1| = d)
+                cp(0).foreach { p1 =>
+                  var best = Int.MaxValue
+                  cp(1).foreach { p2 =>
+                    val d = math.abs(p2 - p1 - 1)
+                    if (d < best) best = d
+                  }
+                  if (best <= slop) pf += 1.0f / (best + 1)
+                }
+              }
+              if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
+            })
+      }
+
+    scored.toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
   }
 
   private def emptyResult: DataFrame =

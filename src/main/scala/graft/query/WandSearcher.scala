@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.codec.{PostingBlock, PostingCodec}
+import graft.codec.{PostingCodec, ScoreBlock}
 import graft.model.TermDictRow
 import graft.score.Bm25
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -106,7 +106,8 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
 
     val hits = postings
       .filter(col("term_id").isin(ids: _*))
-      .as[PostingBlock]
+      .select(ScoreBlock.cols.map(col): _*) // prunes the positions column
+      .as[ScoreBlock]
       .mapPartitions { blocks =>
         val w = bw.value
         val rest = bRest.value

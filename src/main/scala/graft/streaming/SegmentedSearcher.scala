@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.codec.{PostingBlock, PostingCodec}
+import graft.codec.{PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import graft.query.Query
 import graft.score.Bm25
@@ -51,6 +51,9 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     val (b, boost) = q match {
       case Query.Term(t, bst) => (Query.Bool(should = Seq(t)), bst)
       case bb: Query.Bool     => (bb, 1.0f)
+      case _: Query.Phrase =>
+        throw new UnsupportedOperationException(
+          "phrase over a segmented snapshot: compact() first (batch Searcher supports it)")
     }
     val must = b.must.distinct
     val should = b.should.distinct.filterNot(must.contains)
@@ -84,7 +87,8 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
           val bm = spark.sparkContext.broadcast(tidMap)
           spark.read.parquet(s"$d/postings")
             .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
-            .as[PostingBlock]
+            .select(ScoreBlock.cols.map(col): _*)
+            .as[ScoreBlock]
             .flatMap { blk =>
               val (docs, tfs, nbs) = PostingCodec.decode(blk)
               val (clause, w, isMust, isNot) = bm.value(blk.term_id)

@@ -75,7 +75,7 @@ object StreamingIndexer {
         .select(lit(-1).as("pid"), col("term"), col("first_doc"), col("last_doc"), col("cnt"),
           // sum_tf per run only feeds the termdict agg; recompute from blocks
           lit(0L).as("sum_tf"), col("max_tf"), col("max_nb"),
-          col("doc_bytes"), col("tf_bytes"), col("norm_bytes"))
+          col("doc_bytes"), col("tf_bytes"), col("norm_bytes"), col("pos_bytes"))
     }.reduce(_ unionByName _)
     // recompute per-run sum_tf (needed for ttf) by decoding tf cells
     val fixed = runs.as[graft.model.Run].map { r =>

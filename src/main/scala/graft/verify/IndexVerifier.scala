@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object IndexVerifier {
 
+  private def codecPos(b: PostingBlock): graft.codec.PosBlock =
+    graft.codec.PosBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
+      b.tf_bytes, b.norm_bytes, b.pos_bytes)
+
   def verify(spark: SparkSession, indexDir: String): Seq[String] = {
     import spark.implicits._
     val errs = scala.collection.mutable.ArrayBuffer[String]()
@@ -24,13 +28,26 @@ object IndexVerifier {
 
     // Per-block decode invariants + per-term aggregates from postings.
     val perBlock = postings.map { b =>
-      val (docs, tfs, nbs) = PostingCodec.decode(b) // throws on non-increasing
+      val (docs, tfs, nbs, poss) = PostingCodec.decodePos(codecPos(b))
       var i = 1
       while (i < docs.length) { require(docs(i) > docs(i - 1)); i += 1 }
       require(docs.head == b.first_doc && docs.last == b.last_doc, s"block bounds ${b.term_id}")
       require(tfs.max == b.max_tf, s"max_tf mismatch term ${b.term_id}")
       require(nbs.map(_ & 0xff).max == b.max_nb, s"max_nb mismatch term ${b.term_id}")
       require(tfs.forall(_ >= 1), s"tf < 1 in term ${b.term_id}")
+      // positions: one sorted strictly-increasing list of length tf per posting
+      i = 0
+      while (i < poss.length) {
+        val ps = poss(i)
+        require(ps.length == tfs(i), s"positions count != tf in term ${b.term_id}")
+        var j = 1
+        while (j < ps.length) {
+          require(ps(j) > ps(j - 1), s"positions not increasing in term ${b.term_id}")
+          j += 1
+        }
+        require(ps.isEmpty || ps(0) >= 0, s"negative position in term ${b.term_id}")
+        i += 1
+      }
       (b.term_id, b.cnt.toLong, tfs.map(_.toLong).sum, b.first_doc, b.last_doc)
     }.toDF("term_id", "cnt", "sum_tf", "first_doc", "last_doc")
 

@@ -52,14 +52,27 @@ class CodecSpec extends AnyFunSuite {
       val docs = Array.iterate(rnd.nextInt(100).toLong, n)(d => d + 1 + rnd.nextInt(1000))
       val tfs = Array.fill(n)(1 + rnd.nextInt(50))
       val norms = Array.fill(n)(SmallFloat.encodeNorm(1 + rnd.nextInt(500)))
-      val blocks = PostingCodec.encodeRun(9L, docs, tfs, norms).toArray
+      // per-posting sorted position list of length tf
+      val poss: Array[Array[Int]] = tfs.map { tf =>
+        val out = new Array[Int](tf)
+        var p = rnd.nextInt(5)
+        var i = 0
+        while (i < tf) { out(i) = p; p += 1 + rnd.nextInt(9); i += 1 }
+        out
+      }
+      val blocks = PostingCodec.encodeRun(9L, docs, tfs, norms, poss).toArray
       assert(blocks.length == (n + 127) / 128)
-      val (d2, t2, n2) = blocks.map(PostingCodec.decode).reduceOption { (a, b) =>
-        (a._1 ++ b._1, a._2 ++ b._2, a._3 ++ b._3)
+      val decoded = blocks.map { b =>
+        PostingCodec.decodePos(graft.codec.PosBlock(b.term_id, b.first_doc,
+          b.cnt, b.doc_bytes, b.tf_bytes, b.norm_bytes, b.pos_bytes))
+      }
+      val (d2, t2, n2, p2) = decoded.reduceOption { (a, b) =>
+        (a._1 ++ b._1, a._2 ++ b._2, a._3 ++ b._3, a._4 ++ b._4)
       }.get
       assert(d2.toSeq == docs.toSeq)
       assert(t2.toSeq == tfs.toSeq)
       assert(n2.toSeq == norms.toSeq)
+      assert(p2.map(_.toSeq).toSeq == poss.map(_.toSeq).toSeq)
       blocks.foreach { b =>
         assert(b.term_id == 9L)
         assert(b.cnt <= 128)

@@ -86,6 +86,20 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("The Quick-Brown index")) // analyzer applies to queries too
   }
 
+  test("phrase queries from the positions index (exact + sloppy)") {
+    // exact slop-0 alignments, incl. a frequent pair and an absent pair
+    check(Query.Phrase(Seq("time", "person")))
+    check(Query.Phrase(Seq("spark", "index")))
+    check(Query.Phrase(Seq("time", "zzzznothere")))
+    // 3-term exact phrase
+    check(Query.Phrase(Seq("time", "person", "year")))
+    // sloppy: nearest-partner 1/(d+1) weighting, reordering allowed
+    check(Query.Phrase(Seq("time", "person"), slop = 2))
+    check(Query.Phrase(Seq("index", "search"), slop = 3))
+    // boosted phrase
+    check(Query.Phrase(Seq("time", "person"), boost = 2.0f))
+  }
+
   test("k larger than hit count and k=1") {
     check(Query.Term("w001234"), k = 10000)
     check(Query.Bool(should = Seq("time", "person")), k = 1)
