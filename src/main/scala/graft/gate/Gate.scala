@@ -234,6 +234,8 @@ object Gate {
       topkSum(s, d, expand(s, d, col("term").like("w_ndow")), 10)),
     "ft_q_fuzzy" -> ((s, d) =>
       topkSum(s, d, expand(s, d, levenshtein(col("term"), lit("soft")) <= 1), 10)),
+    "ft_q_fuzzy2" -> ((s, d) => fuzzy2Query(s, d, "soft", 10)),
+    "ft_q_parser" -> ((s, d) => parsedQuery(s, d, "+table -slow fast^2", 10)),
     "ft_q_range" -> ((s, d) =>
       hits(s, d, expand(s, d, col("term").between("batch", "data")))
         .groupBy("doc_id").agg(count(lit(1)).cast("long").as("nterms"))
@@ -474,6 +476,56 @@ object Gate {
       .filter(_._2 > 0)
       .toDF("doc_id", "matches")
       .orderBy("doc_id")
+  }
+
+  /** FuzzyQuery at reference strength: distance <= 2 expansion ranked by
+    * similarity 1 - d/|query| (FuzzyTermsEnum.cs:270), capped at the top 50
+    * by (sim desc, term asc) — the TopTermsRewrite boost heap
+    * (/root/reference/src/Lucene.Net/Search/TopTermsRewrite.cs) — each
+    * expanded term's score scaled by its similarity.
+    */
+  def fuzzy2Query(spark: SparkSession, sfDir: String, qterm: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+    val cands = expand(spark, sfDir, levenshtein(col("term"), lit(qterm)) <= 2)
+      .map { t => (t, 1.0 - lev.apply(t, qterm).intValue() / qterm.length.toDouble) }
+      .sortBy { case (t, sim) => (-sim, t) }
+      .take(50)
+    if (cands.isEmpty) return emptyHits(spark).select(col("doc_id"), col("s").cast("long").as("score_q"))
+    val boostDf = cands.toDF("term", "sim")
+    rank(hits(spark, sfDir, cands.map(_._1))
+      .join(broadcast(boostDf), "term")
+      .groupBy("doc_id").agg(sum(col("s") * col("sim")).as("sd")), k)
+  }
+
+  /** A gate query driven end-to-end through the classic query parser
+    * ([[graft.query.Query.parse]]): the parsed Term-only boolean is executed
+    * on the double-parity path (must conjunction, mustNot anti-join,
+    * per-clause boost as a score multiplier).
+    */
+  def parsedQuery(spark: SparkSession, sfDir: String, qstr: String, k: Int): DataFrame = {
+    import graft.query.Query
+    val clauses: Seq[(Query.Occur, Query)] = Query.parse(qstr) match {
+      case b: Query.BoolQ  => b.clauses
+      case t: Query.Term   => Seq((Query.Should, t))
+      case other           => throw new IllegalArgumentException(s"not a term boolean: $other")
+    }
+    val terms = clauses.map { case (occ, q) => (occ, q.asInstanceOf[Query.Term]) }
+    val must = terms.collect { case (Query.Must, t) => t.term }
+    val pos = terms.collect { case (o, t) if o != Query.MustNot => t }
+    val neg = terms.collect { case (Query.MustNot, t) => t.term }
+    val boosted = pos.foldRight(lit(null).cast("double")) { case (t, acc) =>
+      when(col("term") === t.term, col("s") * t.boost.toDouble).otherwise(acc)
+    }
+    var h = hits(spark, sfDir, pos.map(_.term))
+      .withColumn("s", boosted)
+    must.foreach { m =>
+      h = h.join(h.filter(col("term") === m).select("doc_id").distinct(), "doc_id")
+    }
+    if (neg.nonEmpty)
+      h = h.join(hits(spark, sfDir, neg).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    rank(h.groupBy("doc_id").agg(sum("s").as("sd")), k)
   }
 
   /** SearchAfter paging: page 2 (ranks 11-20) of a term query — the collector

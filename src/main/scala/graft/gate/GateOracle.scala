@@ -142,6 +142,23 @@ object GateOracle {
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_wildcard" -> topk("term LIKE 'w_ndow'"),
     "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),
+    "ft_q_fuzzy2" ->
+      s"""$prelude, fz AS (
+         |  SELECT term, 1.0 - levenshtein(term, 'soft') / 4.0 AS sim
+         |  FROM dfs WHERE levenshtein(term, 'soft') <= 2
+         |  ORDER BY sim DESC, term LIMIT 50
+         |)
+         |SELECT doc_id, ${qz("sum(sc.s * fz.sim)")} AS score_q
+         |FROM sc JOIN fz USING (term)
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_parser" ->
+      s"""$prelude
+         |SELECT doc_id,
+         |  ${qz("sum(CASE WHEN term = 'fast' THEN s * CAST(2.0 AS REAL) ELSE s END)")} AS score_q
+         |FROM sc WHERE term IN ('table', 'fast')
+         |  AND doc_id IN (SELECT doc_id FROM sc WHERE term = 'table')
+         |  AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'slow')
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_range" ->
       s"""$prelude
          |SELECT doc_id, count(*) AS nterms FROM tfs

@@ -32,9 +32,51 @@ final class BruteForce(docs: Seq[(Long, String)]) {
     .map { case (t, i) => t -> i.toLong }.toMap
 
   def search(q: Query, k: Int): Seq[(Long, Float)] = q match {
-    case Query.Term(t, boost) => run(Query.Bool(should = Seq(t)), k, boost)
-    case b: Query.Bool        => run(b, k, 1.0f)
-    case p: Query.Phrase      => runPhrase(p, k)
+    case Query.Term(t, boost) => runClauses(Seq((t, Query.Should, boost)), 0, k)
+    case b: Query.Bool =>
+      runClauses(
+        b.must.map(t => (t, Query.Must: Query.Occur, 1.0f)) ++
+          b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
+          b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
+        b.minShouldMatch, k)
+    case p: Query.Phrase => runPhrase(p, k)
+    case bq: Query.BoolQ => runClauses(rewrite(bq.clauses), bq.minShouldMatch, k)
+    case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
+  }
+
+  /** In-memory MultiTermQuery rewrite over the oracle's own vocabulary —
+    * the same expansion/ranking contract as Searcher.rewriteClauses.
+    */
+  private def rewrite(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] = {
+    val vocab = df.keys.toSeq.sorted
+    def expansion(q: Query): Seq[(String, Float)] = q match {
+      case Query.Prefix(p, b)   => vocab.filter(_.startsWith(p)).map((_, b))
+      case Query.Wildcard(w, b) =>
+        val re = ("\\Q" + w.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
+        vocab.filter(t => re.pattern.matcher(t).matches()).map((_, b))
+      case Query.Regexp(re, b)  => vocab.filter(_.matches(re)).map((_, b))
+      case Query.TermRange(lo, hi, il, ih, b) =>
+        vocab.filter { t =>
+          (if (il) t >= lo else t > lo) && (if (ih) t <= hi else t < hi)
+        }.map((_, b))
+      case f: Query.Fuzzy =>
+        val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        vocab.flatMap { t =>
+          val d = lev.apply(t, f.term).intValue()
+          if (d <= f.maxEdits) Some((t, 1.0f - d.toFloat / f.term.length)) else None
+        }
+          .sortBy { case (t, sim) => (-sim, t) }
+          .take(f.maxExpansions)
+          .map { case (t, sim) => (t, f.boost * sim) }
+      case other =>
+        throw new UnsupportedOperationException(s"not executable in a flat boolean: $other")
+    }
+    clauses.flatMap {
+      case (occ, Query.Term(t, b)) => Seq((t, occ, b))
+      case (Query.Must, q) if !q.isInstanceOf[Query.Term] =>
+        throw new UnsupportedOperationException(s"expansion under MUST: $q")
+      case (occ, q) => expansion(q).map { case (t, b) => (t, occ, b) }
+    }
   }
 
   /** Exact/sloppy phrase oracle (same semantics contract as
@@ -78,17 +120,21 @@ final class BruteForce(docs: Seq[(Long, String)]) {
     out.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
-  private def run(b: Query.Bool, k: Int, boost: Float): Seq[(Long, Float)] = {
-    val must = b.must.distinct
-    val should = b.should.distinct.filterNot(must.contains)
-    val mustNot = b.mustNot.distinct.toSet
+  private def runClauses(clauses: Seq[(String, Query.Occur, Float)], mm: Int,
+                         k: Int): Seq[(Long, Float)] = {
+    val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
+    val should = clauses.collect { case (t, Query.Should, _) => t }
+      .distinct.filterNot(must.contains)
+    val mustNot = clauses.collect { case (t, Query.MustNot, _) => t }.distinct.toSet
+    val boosts: Map[String, Float] =
+      clauses.filter(_._2 != Query.MustNot).groupBy(_._1).map { case (t, cs) => t -> cs.head._3 }
     if (must.exists(t => !df.contains(t))) return Nil
     val pos = (must ++ should).filter(df.contains)
     if (pos.isEmpty) return Nil
     val mustSet = must.toSet
     val weights: Seq[(String, Bm25.TermWeight)] = pos
       .sortBy(t => termIds(t)) // canonical ascending-term_id clause order
-      .map(t => t -> Bm25.termWeight(termIds(t), df(t), maxDoc, sumTtf, boost))
+      .map(t => t -> Bm25.termWeight(termIds(t), df(t), maxDoc, sumTtf, boosts(t)))
     val out = analyzed.flatMap { case (id, tf, len) =>
       if (mustNot.exists(tf.contains)) None
       else {
@@ -103,7 +149,7 @@ final class BruteForce(docs: Seq[(Long, String)]) {
           }
         }
         val ok = mustSeen == mustSet.count(df.contains) && mustSeen == must.size &&
-          shouldSeen >= b.minShouldMatch && (mustSeen + shouldSeen) > 0
+          shouldSeen >= mm && (mustSeen + shouldSeen) > 0
         if (ok) Some((id, score)) else None
       }
     }

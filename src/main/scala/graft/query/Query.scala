@@ -1,9 +1,9 @@
 package graft.query
 
-/** Minimal query algebra over the index — the analog of the reference's
-  * Query tree (/root/reference/src/Lucene.Net/Search/BooleanQuery.cs,
-  * TermQuery.cs). Multi-term expansion queries (prefix/wildcard/fuzzy/range)
-  * rewrite to Bool-of-Terms against the term dictionary before execution
+/** Query algebra over the index — the analog of the reference's Query tree
+  * (/root/reference/src/Lucene.Net/Search/BooleanQuery.cs, TermQuery.cs).
+  * Multi-term expansion queries (prefix/wildcard/regexp/fuzzy/range) rewrite
+  * to weighted term disjunctions against the term dictionary at search time
   * (MultiTermQuery rewrite semantics,
   * /root/reference/src/Lucene.Net/Search/MultiTermQuery.cs:65-121).
   */
@@ -12,13 +12,29 @@ sealed trait Query
 object Query {
   final val MaxClauseCount = 1024 // BooleanQuery.MaxClauseCount guard
 
+  /** Clause occurrence (BooleanClause.Occur). */
+  sealed trait Occur
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+
   final case class Term(term: String, boost: Float = 1.0f) extends Query
 
+  /** Flat unweighted boolean over analyzed terms (the original v0 shape;
+    * still the common fast path).
+    */
   final case class Bool(
       must: Seq[String] = Nil,
       should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 0) extends Query
+
+  /** General boolean with per-clause occurrence and nested leaf queries
+    * (Term / multi-term rewrites; Phrase nesting is not executable in v0 —
+    * a standalone Phrase is).
+    */
+  final case class BoolQ(clauses: Seq[(Occur, Query)],
+                         minShouldMatch: Int = 0) extends Query
 
   /** Positional phrase query scored from the postings positions index.
     *
@@ -35,31 +51,181 @@ object Query {
   final case class Phrase(terms: Seq[String], slop: Int = 0,
                           boost: Float = 1.0f) extends Query
 
-  /** Parse a tiny subset of the classic query syntax: whitespace-separated
-    * clauses, `+term` = MUST, `-term` = MUST_NOT, bare = SHOULD. Terms are
-    * analyzed with the same chain as indexing
-    * (QueryParserBase.GetFieldQuery semantics,
-    * /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs:445-498).
+  /** PrefixQuery (/root/reference/src/Lucene.Net/Search/PrefixQuery.cs). */
+  final case class Prefix(prefix: String, boost: Float = 1.0f) extends Query
+
+  /** WildcardQuery `*`/`?` glob
+    * (/root/reference/src/Lucene.Net/Search/WildcardQuery.cs).
     */
-  def parse(q: String): Bool = {
-    var must = Vector.empty[String]
-    var should = Vector.empty[String]
-    var mustNot = Vector.empty[String]
-    q.trim.split("\\s+").filter(_.nonEmpty).foreach { raw =>
-      val (kind, body) =
-        if (raw.startsWith("+")) ('+', raw.substring(1))
-        else if (raw.startsWith("-")) ('-', raw.substring(1))
-        else (' ', raw)
-      graft.analysis.Analyzer.terms(body).foreach { t =>
-        kind match {
-          case '+' => must :+= t
-          case '-' => mustNot :+= t
-          case _   => should :+= t
+  final case class Wildcard(pattern: String, boost: Float = 1.0f) extends Query
+
+  /** RegexpQuery over the term dictionary
+    * (/root/reference/src/Lucene.Net/Search/RegexpQuery.cs).
+    */
+  final case class Regexp(pattern: String, boost: Float = 1.0f) extends Query
+
+  /** FuzzyQuery: Levenshtein <= maxEdits (2 like the reference default,
+    * /root/reference/src/Lucene.Net/Search/FuzzyQuery.cs:58), rewritten to
+    * the top-`maxExpansions` matching terms ranked by similarity
+    * `1 - d/|term|` (FuzzyTermsEnum.cs:270) — the TopTermsRewrite boost heap.
+    */
+  final case class Fuzzy(term: String, maxEdits: Int = 2, boost: Float = 1.0f,
+                         maxExpansions: Int = 50) extends Query
+
+  /** TermRangeQuery (/root/reference/src/Lucene.Net/Search/TermRangeQuery.cs:45). */
+  final case class TermRange(lo: String, hi: String, includeLo: Boolean = true,
+                             includeHi: Boolean = true, boost: Float = 1.0f) extends Query
+
+  // -------------------------------------------------------------------------
+  // Classic query-parser syntax (recursive descent over the JavaCC grammar's
+  // surface: /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParser.cs:104,
+  // clause loop :137-229; builders QueryParserBase.cs:445-498 (field/phrase),
+  // :479 (range), :750 (wildcard), :784 (regexp)).
+  //
+  // Supported: bare/`+`/`-` clauses, AND/OR/NOT (&&/||/!), `field:term` (the
+  // single indexed field is `text`), quoted phrases with `~slop`, trailing-`*`
+  // prefix, `*`/`?` wildcards, `~`/`~1`/`~2` fuzzy, `[a TO b]`/`{a TO b}`
+  // ranges, `^boost`. Parentheses (nested boolean groups) are rejected —
+  // the v0 engine executes flat booleans.
+  // -------------------------------------------------------------------------
+
+  private val FieldName = "text"
+
+  /** Parse a classic-syntax query string into an executable Query. Terms are
+    * analyzed with the same chain as indexing (GetFieldQuery semantics); a
+    * single-clause boolean collapses to its leaf (BooleanQuery.cs:539-562).
+    */
+  def parse(q: String): Query = {
+    val clauses = new scala.collection.mutable.ArrayBuffer[(Occur, Query)]()
+    var pendingOccur: Option[Occur] = None
+    var pendingConj: Option[String] = None
+    var pendingNot = false
+
+    def addClause(leaf: Query): Unit = {
+      // classic conjunction semantics: AND promotes the PREVIOUS default-
+      // SHOULD clause to MUST and makes this one MUST (unless a +/-/NOT
+      // modifier already decided); OR leaves both SHOULD.
+      val occ = pendingOccur.getOrElse {
+        if (pendingNot) MustNot
+        else if (pendingConj.contains("AND")) Must
+        else Should
+      }
+      if (pendingConj.contains("AND") && clauses.nonEmpty) {
+        val (lastOcc, lastQ) = clauses.last
+        if (lastOcc == Should) clauses(clauses.size - 1) = (Must, lastQ)
+      }
+      clauses += ((occ, leaf))
+      pendingOccur = None
+      pendingConj = None
+      pendingNot = false
+    }
+
+    val s = q
+    val n = s.length
+    var i = 0
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def readNumber(): Float = {
+      val start = i
+      while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+      require(i > start, s"expected number at offset $start in: $q")
+      s.substring(start, i).toFloat
+    }
+    while (i < n) {
+      val c = s(i)
+      if (ws(c)) i += 1
+      else if (c == '(' || c == ')')
+        throw new IllegalArgumentException("parenthesized groups are not supported")
+      else if (c == '+' && i + 1 < n && !ws(s(i + 1))) { pendingOccur = Some(Must); i += 1 }
+      else if (c == '-' && i + 1 < n && !ws(s(i + 1))) { pendingOccur = Some(MustNot); i += 1 }
+      else if (c == '!' && i + 1 < n && !ws(s(i + 1))) { pendingNot = true; i += 1 }
+      else if (c == '"') {
+        i += 1
+        val start = i
+        while (i < n && s(i) != '"') i += 1
+        require(i < n, s"unterminated phrase in: $q")
+        val body = s.substring(start, i)
+        i += 1
+        var slop = 0
+        if (i < n && s(i) == '~') { i += 1; slop = readNumber().toInt }
+        var boost = 1.0f
+        if (i < n && s(i) == '^') { i += 1; boost = readNumber() }
+        val terms = graft.analysis.Analyzer.terms(body).toSeq
+        terms.size match {
+          case 0 => // all stopwords: contributes nothing (reference drops it)
+          case 1 => addClause(Term(terms.head, boost))
+          case _ => addClause(Phrase(terms, slop, boost))
+        }
+      }
+      else if (c == '[' || c == '{') {
+        val includeLo = c == '['
+        i += 1
+        val start = i
+        while (i < n && s(i) != ']' && s(i) != '}') i += 1
+        require(i < n, s"unterminated range in: $q")
+        val includeHi = s(i) == ']'
+        val body = s.substring(start, i).trim
+        i += 1
+        var boost = 1.0f
+        if (i < n && s(i) == '^') { i += 1; boost = readNumber() }
+        val parts = body.split("\\s+TO\\s+")
+        require(parts.length == 2, s"range must be [a TO b] in: $q")
+        addClause(TermRange(parts(0).toLowerCase, parts(1).toLowerCase,
+          includeLo, includeHi, boost))
+      }
+      else {
+        // bare word (may carry field:, wildcards, ~fuzzy, ^boost)
+        val start = i
+        while (i < n && !ws(s(i)) && s(i) != '^' && s(i) != '~' && s(i) != '"' &&
+          s(i) != '[' && s(i) != '{' && s(i) != '(' && s(i) != ')') i += 1
+        var word = s.substring(start, i)
+        var fuzzyEdits = -1
+        if (i < n && s(i) == '~') {
+          i += 1
+          fuzzyEdits =
+            if (i < n && s(i).isDigit) readNumber().toInt else 2 // default ~2
+        }
+        var boost = 1.0f
+        if (i < n && s(i) == '^') { i += 1; boost = readNumber() }
+        word match {
+          case "AND" | "&&" => pendingConj = Some("AND")
+          case "OR" | "||"  => pendingConj = Some("OR")
+          case "NOT"        => pendingNot = true
+          case _ =>
+            val colon = word.indexOf(':')
+            if (colon >= 0) {
+              val f = word.substring(0, colon)
+              require(f == FieldName, s"unknown field '$f' (only '$FieldName' is indexed)")
+              word = word.substring(colon + 1)
+            }
+            if (fuzzyEdits >= 0)
+              addClause(Fuzzy(word.toLowerCase, fuzzyEdits, boost))
+            else if (word.contains("*") || word.contains("?")) {
+              val lw = word.toLowerCase
+              if (lw.endsWith("*") && !lw.dropRight(1).exists(ch => ch == '*' || ch == '?'))
+                addClause(Prefix(lw.dropRight(1), boost))
+              else addClause(Wildcard(lw, boost))
+            } else {
+              // analyze like the field; a word that tokenizes to several terms
+              // keeps ONE resolved occurrence for all of them
+              // (QueryParserBase.GetFieldQuery non-quoted multi-token behavior)
+              val toks = graft.analysis.Analyzer.terms(word)
+              if (toks.nonEmpty) {
+                addClause(Term(toks.head, boost))
+                val occ = clauses.last._1
+                toks.tail.foreach(t => clauses += ((occ, Term(t, boost))))
+              } else {
+                // all-stopword token: clause vanishes; modifiers are consumed
+                pendingOccur = None
+                pendingNot = false
+              }
+            }
         }
       }
     }
-    require(must.size + should.size + mustNot.size <= MaxClauseCount,
-      s"too many clauses (> $MaxClauseCount)")
-    Bool(must, should, mustNot)
+    require(clauses.size <= MaxClauseCount, s"too many clauses (> $MaxClauseCount)")
+    clauses.toSeq match {
+      case Seq((Should, leaf)) => leaf // single-clause collapse
+      case cs                  => BoolQ(cs)
+    }
   }
 }

@@ -59,29 +59,90 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
   }
 
   def search(q: Query, k: Int): DataFrame = q match {
-    case Query.Term(t, boost) => search(Query.Bool(should = Seq(t)), k, boost)
-    case b: Query.Bool        => search(b, k, 1.0f)
-    case p: Query.Phrase      => searchPhrase(p, k)
+    case Query.Term(t, boost) => searchClauses(Seq((t, Query.Should, boost)), 0, k)
+    case b: Query.Bool =>
+      searchClauses(
+        b.must.map(t => (t, Query.Must: Query.Occur, 1.0f)) ++
+          b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
+          b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
+        b.minShouldMatch, k)
+    case p: Query.Phrase => searchPhrase(p, k)
+    case bq: Query.BoolQ => searchClauses(rewriteClauses(bq.clauses), bq.minShouldMatch, k)
+    case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
+  }
+
+  /** MultiTermQuery rewrite: lower every leaf to weighted term clauses
+    * against the term dictionary (SCORING_BOOLEAN_QUERY_REWRITE semantics,
+    * /root/reference/src/Lucene.Net/Search/MultiTermQuery.cs:121; fuzzy uses
+    * the TopTermsRewrite boost heap, TopTermsRewrite.cs). Expansions under
+    * MUST would need a nested disjunction — rejected in v0; under MUST_NOT
+    * they are sound (excluding the union).
+    */
+  private[graft] def rewriteClauses(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] = {
+    def expansion(occ: Query.Occur, q: Query): Seq[(String, Float)] = q match {
+      case Query.Prefix(p, b) =>
+        expand(col("term").startsWith(p)).map(t => (t, b))
+      case Query.Wildcard(pat, b) =>
+        val sql = pat.replace("%", "\\%").replace("_", "\\_")
+          .replace('*', '%').replace('?', '_')
+        expand(col("term").like(sql)).map(t => (t, b))
+      case Query.Regexp(re, b) =>
+        expand(col("term").rlike(re)).map(t => (t, b))
+      case Query.TermRange(lo, hi, il, ih, b) =>
+        val lower = if (il) col("term") >= lo else col("term") > lo
+        val upper = if (ih) col("term") <= hi else col("term") < hi
+        expand(lower && upper).map(t => (t, b))
+      case f: Query.Fuzzy =>
+        // top-N by similarity = 1 - d/|query| (FuzzyTermsEnum.cs:270), ties
+        // by term; expanded term boost = clause boost * similarity. The
+        // candidate enumeration is uncapped like the reference's terms-enum
+        // walk — the top-N heap caps the CLAUSES, not the candidates.
+        val cands = expand(levenshtein(col("term"), lit(f.term)) <= f.maxEdits,
+          maxTerms = 1 << 20)
+        cands
+          .map { t =>
+            val d = org.apache.commons.text.similarity.LevenshteinDistance
+              .getDefaultInstance.apply(t, f.term).intValue()
+            (t, 1.0f - d.toFloat / f.term.length)
+          }
+          .sortBy { case (t, sim) => (-sim, t) }
+          .take(f.maxExpansions)
+          .map { case (t, sim) => (t, f.boost * sim) }
+      case other =>
+        throw new UnsupportedOperationException(s"clause not executable in a flat boolean: $other")
+    }
+    clauses.flatMap {
+      case (occ, Query.Term(t, b)) => Seq((t, occ, b))
+      case (Query.Must, q) if !q.isInstanceOf[Query.Term] =>
+        throw new UnsupportedOperationException(
+          s"multi-term expansion under MUST needs a nested disjunction (v0 unsupported): $q")
+      case (occ, q) => expansion(occ, q).map { case (t, b) => (t, occ, b) }
+    }
   }
 
   /** Per-doc scored hits for the positive clauses + the boolean combine.
     * Returns (doc_id: Long, score: Float) top-k.
     */
-  private def search(b: Query.Bool, k: Int, boost: Float): DataFrame = {
-    val must = b.must.distinct
-    val should = b.should.distinct.filterNot(must.contains)
-    val mustNot = b.mustNot.distinct
+  private def searchClauses(clauses: Seq[(String, Query.Occur, Float)], mm: Int,
+                            k: Int): DataFrame = {
+    require(clauses.size <= Query.MaxClauseCount, "too many clauses")
+    val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
+    val should = clauses.collect { case (t, Query.Should, _) => t }
+      .distinct.filterNot(must.contains)
+    val mustNot = clauses.collect { case (t, Query.MustNot, _) => t }.distinct
+    // first-clause boost wins for a duplicated positive term
+    val boosts: Map[String, Float] =
+      clauses.filter(_._2 != Query.MustNot).groupBy(_._1).map { case (t, cs) => t -> cs.head._3 }
     val dict = lookup(must ++ should ++ mustNot)
     // A MUST term absent from the index -> no results (conjunction semantics).
     if (must.exists(t => !dict.contains(t)) || (must ++ should).forall(t => !dict.contains(t)))
       return emptyResult
-    val mm = b.minShouldMatch
 
     val posTerms = (must ++ should).filter(dict.contains)
     val notTerms = mustNot.filter(dict.contains)
     val weights: Map[Long, Bm25.TermWeight] = posTerms.map { t =>
       val d = dict(t)
-      d.term_id -> Bm25.termWeight(d.term_id, d.df, stats.max_doc, stats.sum_ttf, boost)
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, stats.max_doc, stats.sum_ttf, boosts(t))
     }.toMap
     val mustIds = must.flatMap(dict.get).map(_.term_id).toSet
     val shouldIds = should.flatMap(dict.get).map(_.term_id).toSet

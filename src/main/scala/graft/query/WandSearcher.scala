@@ -61,12 +61,15 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
 
   def search(q: Query, k: Int): DataFrame = q match {
     case Query.Term(t, boost) =>
-      searchShould(Seq(t), k, boost)
+      searchShould(Seq((t, boost)), k)
     case Query.Bool(Nil, should, Nil, mm) if mm <= 1 && should.nonEmpty =>
-      searchShould(should, k, 1.0f)
+      searchShould(should.map((_, 1.0f)), k)
+    case Query.BoolQ(cs, mm) if mm <= 1 && cs.nonEmpty &&
+      cs.forall { case (o, c) => o == Query.Should && c.isInstanceOf[Query.Term] } =>
+      searchShould(cs.map { case (_, t: Query.Term) => (t.term, t.boost); case _ => null }, k)
     case other =>
-      // MUST / NOT / min-should-match change the bound algebra; those run on
-      // the exhaustive path (same results, no pruning).
+      // MUST / NOT / min-should-match / phrase change the bound algebra;
+      // those run on the exhaustive path (same results, no pruning).
       base.search(other, k)
   }
 
@@ -77,12 +80,13 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     else w.weightValue.toDouble * maxTf / (maxTf + c)
   }
 
-  private def searchShould(terms: Seq[String], k: Int, boost: Float): DataFrame = {
-    val dict: Map[String, TermDictRow] = base.lookup(terms.distinct)
+  private def searchShould(terms: Seq[(String, Float)], k: Int): DataFrame = {
+    val boosts: Map[String, Float] = terms.groupBy(_._1).map { case (t, cs) => t -> cs.head._2 }
+    val dict: Map[String, TermDictRow] = base.lookup(terms.map(_._1).distinct)
     if (dict.isEmpty) return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
     val st = base.stats
     val weights: Map[Long, Bm25.TermWeight] = dict.values.map { d =>
-      d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, boost)
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, boosts(d.term))
     }.toMap
     val ids = weights.keySet.toSeq.sorted
 

@@ -51,9 +51,9 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     val (b, boost) = q match {
       case Query.Term(t, bst) => (Query.Bool(should = Seq(t)), bst)
       case bb: Query.Bool     => (bb, 1.0f)
-      case _: Query.Phrase =>
+      case other =>
         throw new UnsupportedOperationException(
-          "phrase over a segmented snapshot: compact() first (batch Searcher supports it)")
+          s"segmented snapshot supports Term/Bool only (compact() first for: $other)")
     }
     val must = b.must.distinct
     val should = b.should.distinct.filterNot(must.contains)

@@ -86,6 +86,22 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("The Quick-Brown index")) // analyzer applies to queries too
   }
 
+  test("parsed full syntax end-to-end: AND/OR, boosts, multi-term rewrites, phrase") {
+    check(Query.parse("time AND person"))
+    check(Query.parse("time OR person OR year"))
+    check(Query.parse("time^2 person"))
+    check(Query.parse("time^0.5 AND NOT person"))
+    check(Query.parse("w00123*"))               // prefix expansion
+    check(Query.parse("w0012?4"))               // wildcard expansion
+    check(Query.parse("time~1"))                // fuzzy distance 1
+    check(Query.parse("index~"))                // fuzzy default distance 2, top-50 by sim
+    check(Query.parse("[w001230 TO w001240]"))  // term range expansion
+    check(Query.parse("{w001230 TO w001240}"))
+    check(Query.parse("\"time person\""))       // phrase through the parser
+    check(Query.parse("\"time person\"~2"))
+    check(Query.parse("+time w00123* -person")) // mixed boolean with expansion
+  }
+
   test("phrase queries from the positions index (exact + sloppy)") {
     // exact slop-0 alignments, incl. a frequent pair and an absent pair
     check(Query.Phrase(Seq("time", "person")))
