@@ -261,16 +261,38 @@ object Gate {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
     "ft_group_top" -> ((s, d) => {
+      // GroupingSearch top-k-per-group, k = 3 (two-pass grouping collector,
+      // /root/reference/src/Lucene.Net.Grouping/GroupingSearch.cs:112-174)
       val base = hits(s, d, Seq("data"))
         .groupBy("doc_id").agg(sum("s").as("sd"))
         .select(col("doc_id"), q(col("sd")).as("score_q"))
         .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
       val w = Window.partitionBy("source").orderBy(desc("score_q"), asc("doc_id"))
       base.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("source", "doc_id", "score_q")
-        .orderBy("source")
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"), col("score_q"))
+        .orderBy("source", "rn")
     }),
+    "ft_sort_field" -> ((s, d) =>
+      // TopFieldCollector: top-k by a stored field, not by score
+      // (/root/reference/src/Lucene.Net/Search/TopFieldCollector.cs:37;
+      // SortField semantics SortField.cs:516-604)
+      hits(s, d, Seq("stream")).select("doc_id").distinct()
+        .join(docsTable(s, d).select("doc_id", "n_chars"), "doc_id")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(10)),
+    "ft_facet_sum" -> ((s, d) =>
+      // TaxonomyFacetSumValueSource: facet aggregation by expression
+      // (/root/reference/src/Lucene.Net.Facet/Taxonomy/TaxonomyFacetSumValueSource.cs)
+      hits(s, d, Seq("spark")).select("doc_id").distinct()
+        .join(docsTable(s, d), "doc_id")
+        .groupBy("lang").agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+    "ft_drill_sideways" -> ((s, d) => drillSideways(s, d)),
+    "ft_suggest" -> ((s, d) => suggest(s, d, "tabel", 5)),
+    "ft_highlight_multi" -> ((s, d) => highlightMulti(s, d, "vector", 3, 3)),
+    "ft_q_regexp" -> ((s, d) =>
+      topkSum(s, d, expand(s, d, col("term").rlike("^w.ndow$")), 10)),
     "ft_join" -> ((s, d) => {
       val srcs = hits(s, d, Seq("dup")).select("doc_id")
         .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
@@ -544,6 +566,65 @@ object Gate {
       .orderBy(desc("score_q"), asc("doc_id"))
       .limit(k)
       .select("doc_id", "score_q")
+  }
+
+  /** DrillSideways (/root/reference/src/Lucene.Net.Facet/DrillSideways.cs:50):
+    * with drill-down filters lang='en' AND source='src3' over the 'data'
+    * hits, each dimension's counts are computed as if its OWN filter were
+    * dropped (one pass per dim minus its predicate).
+    */
+  def drillSideways(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = hits(spark, sfDir, Seq("data")).select("doc_id").distinct()
+      .join(docsTable(spark, sfDir), "doc_id")
+    val langSideways = base.filter(col("source") === "src3")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(lit("lang").as("dim"), col("lang").as("value"), col("cnt"))
+    val srcSideways = base.filter(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .select(lit("source").as("dim"), col("source").as("value"), col("cnt"))
+    langSideways.unionByName(srcSideways).orderBy("dim", "value")
+  }
+
+  /** DirectSpellChecker-style suggestion
+    * (/root/reference/src/Lucene.Net.Suggest/Spell/DirectSpellChecker.cs:49):
+    * candidate terms within edit distance 2 of the (misspelled) query,
+    * ranked by (distance asc, df desc, term asc).
+    */
+  def suggest(spark: SparkSession, sfDir: String, qterm: String, n: Int): DataFrame = {
+    val idx = indexDir(spark, sfDir)
+    termdict(spark, idx)
+      .filter(levenshtein(col("term"), lit(qterm)) <= 2)
+      .select(col("term"), levenshtein(col("term"), lit(qterm)).cast("long").as("dist"),
+        col("df").cast("long").as("df"))
+      .orderBy(asc("dist"), desc("df"), asc("term"))
+      .limit(n)
+  }
+
+  /** Multi-passage highlighter from the POSITIONS index
+    * (PostingsHighlighter semantics — offsets/positions from postings, not
+    * re-analysis; /root/reference/src/Lucene.Net.Highlighter/Highlight/Highlighter.cs:34):
+    * first `nPass` occurrences per top doc, each with a 3-token snippet.
+    */
+  def highlightMulti(spark: SparkSession, sfDir: String, term: String,
+                     kDocs: Int, nPass: Int): DataFrame = {
+    import spark.implicits._
+    val top = topkSum(spark, sfDir, Seq(term), kDocs).select("doc_id")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    posHits(spark, sfDir, Seq(term))
+      .join(top, "doc_id")
+      .select(col("doc_id"), explode(col("pos")).as("p0"))
+      .withColumn("pos", col("p0") + 1) // 1-based like the oracle's pos CTE
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nPass)
+      .join(docsTable(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("p0"), col("pos"), col("text"))
+      .as[(Long, Int, Int, String)]
+      .map { case (id, p0, pos, text) =>
+        val toks = text.split(" ", -1)
+        (id, pos.toLong, toks.slice(p0, math.min(p0 + 3, toks.length)).mkString(" "))
+      }
+      .toDF("doc_id", "pos", "snippet")
+      .orderBy("doc_id", "pos")
   }
 
   /** MinHash+LSH near-duplicate pairs over raw 3-token shingles: 8 md5-derived

@@ -193,12 +193,57 @@ object GateOracle {
          |  SELECT doc_id, ${qz("sum(s)")} AS score_q
          |  FROM sc WHERE term = 'data' GROUP BY doc_id
          |)
-         |SELECT source, doc_id, score_q FROM (
+         |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, score_q FROM (
          |  SELECT d.source, b.doc_id, b.score_q,
          |         row_number() OVER (PARTITION BY d.source
          |                            ORDER BY b.score_q DESC, b.doc_id) AS rn
          |  FROM base b JOIN documents d USING (doc_id)
-         |) WHERE rn = 1 ORDER BY source""".stripMargin,
+         |) WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "ft_sort_field" ->
+      s"""$prelude
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'stream')
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""".stripMargin,
+    "ft_facet_sum" ->
+      s"""$prelude
+         |SELECT d.lang AS lang, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         |       count(*) AS cnt
+         |FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'spark')
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "ft_drill_sideways" ->
+      s"""$prelude, base AS (
+         |  SELECT DISTINCT doc_id FROM tfs WHERE term = 'data'
+         |), j AS (
+         |  SELECT d.* FROM documents d JOIN base USING (doc_id)
+         |)
+         |SELECT * FROM (
+         |  SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+         |  FROM j WHERE source = 'src3' GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'source' AS dim, source AS value, count(*) AS cnt
+         |  FROM j WHERE lang = 'en' GROUP BY source
+         |) ORDER BY dim, value""".stripMargin,
+    "ft_suggest" ->
+      s"""$prelude
+         |SELECT term, CAST(levenshtein(term, 'tabel') AS BIGINT) AS dist, df
+         |FROM dfs WHERE levenshtein(term, 'tabel') <= 2
+         |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+    "ft_highlight_multi" ->
+      s"""$prelude, top AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |  ORDER BY score_q DESC, doc_id LIMIT 3
+         |), occ AS (
+         |  SELECT p.doc_id, p.p AS pos,
+         |         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.p) AS rn
+         |  FROM pos p JOIN top USING (doc_id) WHERE p.t = 'vector'
+         |)
+         |SELECT o.doc_id, CAST(o.pos AS BIGINT) AS pos,
+         |       array_to_string(l[o.pos:o.pos + 2], ' ') AS snippet
+         |FROM occ o JOIN splits USING (doc_id)
+         |WHERE o.rn <= 3 ORDER BY doc_id, pos""".stripMargin,
+    "ft_q_regexp" -> topk("regexp_matches(term, '^w.ndow$')"),
     "ft_join" ->
       s"""$prelude
          |SELECT d2.source AS source, count(*) AS cnt
