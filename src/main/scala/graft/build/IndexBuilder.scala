@@ -367,7 +367,7 @@ object IndexBuilder {
         if (poss == null) null else poss.slice(a, b))
     }
 
-  private def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
+  private[graft] def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
                            norms: Array[Byte], poss: Array[Array[Int]]): Run = {
     val gaps = new Array[Long](docs.length - 1)
     var i = 1
@@ -393,7 +393,7 @@ object IndexBuilder {
       if (poss == null) Array.emptyByteArray else PostingCodec.packPositions(poss))
   }
 
-  private def decodeRun(r: Run): (Array[Long], Array[Int], Array[Byte]) = {
+  private[graft] def decodeRun(r: Run): (Array[Long], Array[Int], Array[Byte]) = {
     val gaps = ForCodec.unpack(r.doc_bytes)
     val tfs = ForCodec.unpack(r.tf_bytes).map(_.toInt)
     val docs = new Array[Long](r.cnt)

@@ -242,6 +242,16 @@ object Gate {
         .orderBy("doc_id")),
     "ft_q_absent" -> ((s, d) => topkSum(s, d, Seq("zzz"), 10)),
     "ft_q_paging" -> ((s, d) => pagingQuery(s, d, "vector", 10)),
+    "ft_delete" -> ((s, d) => {
+      // liveDocs-style delete application (BufferedUpdates/LiveDocsFormat,
+      // engine path: graft.build.Tombstones + Searcher anti-join; tested
+      // bit-exactly in DeleteSpec): every doc_id divisible by 7 is buried,
+      // then a term query must not surface any of them.
+      val dead = docsTable(s, d).select("doc_id").filter(col("doc_id") % 7 === 0)
+      rank(hits(s, d, Seq("table"))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(sum("s").as("sd")), 10)
+    }),
     "ft_count_all" -> ((s, d) => {
       val idx = indexDir(s, d)
       s.read.parquet(s"$idx/norms").agg(count(lit(1)).as("cnt"))

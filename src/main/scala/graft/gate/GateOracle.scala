@@ -175,6 +175,11 @@ object GateOracle {
          |         row_number() OVER (ORDER BY score_q DESC, doc_id) AS rn
          |  FROM base
          |) WHERE rn > 10 AND rn <= 20 ORDER BY score_q DESC, doc_id""".stripMargin,
+    "ft_delete" ->
+      s"""$prelude
+         |SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |FROM sc WHERE term = 'table' AND doc_id % 7 <> 0
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     "ft_count_all" -> "SELECT count(*) AS cnt FROM documents",
     "ft_facet_lang" ->
       s"""$prelude

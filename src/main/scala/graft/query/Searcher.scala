@@ -28,6 +28,16 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
   // One relation (and one file listing) reused across queries — at cluster
   // scale re-listing the postings table per query is a driver hotspot.
   private lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+
+  /** Dead docs, applied liveDocs-style as a pre-top-k anti-join; stats stay
+    * unpurged until compaction (reference behavior, see
+    * [[graft.build.Tombstones]]).
+    */
+  private lazy val tombstones: Option[DataFrame] =
+    graft.build.Tombstones.read(spark, indexDir)
+  private[query] def hasTombstones: Boolean = tombstones.isDefined
+  private def live(df: DataFrame): DataFrame =
+    tombstones.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
   // The term dictionary is metadata-sized (the reference holds its FST in
   // RAM, BlockTreeTermsWriter.cs:57); cache it once per searcher so repeated
   // queries skip the parquet footer round-trips.
@@ -163,7 +173,7 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
         combineHits(hits, bMust, bNot, nMust, mm)
       }
 
-    combined.toDF("doc_id", "score")
+    live(combined.toDF("doc_id", "score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -306,7 +316,7 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
             })
       }
 
-    scored.toDF("doc_id", "score")
+    live(scored.toDF("doc_id", "score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }

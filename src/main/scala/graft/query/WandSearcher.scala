@@ -60,6 +60,12 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
   @transient var lastScanned: Option[LongAccumulator] = None
 
   def search(q: Query, k: Int): DataFrame = q match {
+    case _ if base.hasTombstones =>
+      // buried docs would poison the threshold heaps (a dead doc's clause
+      // score is no lower bound on the k-th LIVE total), so pruning is
+      // disabled until compaction purges them — the same class of
+      // optimization Lucene turns off under liveDocs.
+      base.search(q, k)
     case Query.Term(t, boost) =>
       searchShould(Seq((t, boost)), k)
     case Query.Bool(Nil, should, Nil, mm) if mm <= 1 && should.nonEmpty =>

@@ -127,7 +127,15 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
             else Float.NaN)
       }
 
-    combined.toDF("doc_id", "score")
+    // liveDocs application: buried docs drop out before the top-k
+    val liveOnly =
+      if (snap.tombs.isEmpty) combined.toDF("doc_id", "score")
+      else {
+        val dead = snap.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
+          .select("doc_id").distinct()
+        combined.toDF("doc_id", "score").join(dead, Seq("doc_id"), "left_anti")
+      }
+    liveOnly
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }

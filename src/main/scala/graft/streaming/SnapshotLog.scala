@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 final class SnapshotLog(indexDir: String, spark: SparkSession) {
 
   final case class Snapshot(id: Long, maxDoc: Long, base: Option[String],
-                            segments: Seq[String])
+                            segments: Seq[String], tombs: Seq[String] = Nil)
 
   private val fs: FileSystem = {
     val conf = spark.sessionState.newHadoopConf()
@@ -33,18 +33,20 @@ final class SnapshotLog(indexDir: String, spark: SparkSession) {
   }
 
   /** Commit the next snapshot (id = latest + 1). */
-  def commit(maxDoc: Long, base: Option[String], segments: Seq[String]): Snapshot = {
+  def commit(maxDoc: Long, base: Option[String], segments: Seq[String],
+             tombs: Seq[String] = Nil): Snapshot = {
     // The snapshot file is fixed-shape JSON with a substring parser; reject
     // path characters that would corrupt the round-trip (legal on POSIX but
     // never produced by our own segment naming).
-    (base.toSeq ++ segments).foreach { p =>
+    (base.toSeq ++ segments ++ tombs).foreach { p =>
       require(!p.exists(c => c == ',' || c == '}' || c == ']' || c == '"'),
         s"index path contains JSON-breaking character: $p")
     }
     val id = latest().map(_.id + 1).getOrElse(0L)
     val json =
       s"""{"id":$id,"max_doc":$maxDoc,"base":${base.map(b => "\"" + b + "\"").getOrElse("null")},
-         |"segments":[${segments.map(s => "\"" + s + "\"").mkString(",")}]}""".stripMargin
+         |"segments":[${segments.map(s => "\"" + s + "\"").mkString(",")}],
+         |"tombs":[${tombs.map(s => "\"" + s + "\"").mkString(",")}]}""".stripMargin
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".snap-$id.tmp")
     val out = fs.create(tmp, true)
@@ -69,11 +71,16 @@ final class SnapshotLog(indexDir: String, spark: SparkSession) {
     val maxDoc = field("max_doc").trim.toLong
     val baseRaw = field("base").trim
     val base = if (baseRaw == "null") None else Some(baseRaw.stripPrefix("\"").stripSuffix("\""))
-    val segsRaw = json.substring(json.indexOf("\"segments\":[") + 12)
-      .takeWhile(_ != ']')
-    val segments =
-      if (segsRaw.trim.isEmpty) Nil
-      else segsRaw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Snapshot(id, maxDoc, base, segments)
+    def list(name: String): Seq[String] = {
+      val marker = "\"" + name + "\":["
+      val at = json.indexOf(marker)
+      if (at < 0) Nil
+      else {
+        val raw = json.substring(at + marker.length).takeWhile(_ != ']')
+        if (raw.trim.isEmpty) Nil
+        else raw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      }
+    }
+    Snapshot(id, maxDoc, base, list("segments"), list("tombs"))
   }
 }

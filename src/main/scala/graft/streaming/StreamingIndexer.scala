@@ -48,8 +48,52 @@ object StreamingIndexer {
       IndexBuilder.Options(numPartitions = p))
     withIds.unpersist(blocking = false)
     val newSegs = snap.map(_.segments).getOrElse(Nil) :+ segDir
-    log.commit(maxDoc, snap.flatMap(_.base), newSegs)
+    log.commit(maxDoc, snap.flatMap(_.base), newSegs, snap.map(_.tombs).getOrElse(Nil))
     if (autoCompact && newSegs.size >= CompactAt) compact(spark, indexDir)
+  }
+
+  /** Buffer deletions: dead doc_ids become a tombstone table referenced by
+    * the next snapshot; queries anti-join them and compact() purges them
+    * (IndexWriter.DeleteDocuments semantics,
+    * /root/reference/src/Lucene.Net/Index/IndexWriter.cs:1693; buffered state
+    * BufferedUpdates.cs:38).
+    */
+  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (docIds.isEmpty) return
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest().getOrElse(
+      throw new IllegalStateException("deleteDocs on an empty index"))
+    val tombDir = s"$indexDir/tomb-${snap.id + 1}"
+    docIds.toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+    log.commit(snap.maxDoc, snap.base, snap.segments, snap.tombs :+ tombDir)
+  }
+
+  /** Delete-by-term (IndexWriter.DeleteDocuments(Term),
+    * /root/reference/src/Lucene.Net/Index/IndexWriter.cs:1693): resolve the
+    * term's postings across base + segments, tombstone every matching doc.
+    */
+  def deleteByTerm(spark: SparkSession, indexDir: String, term: String): Unit = {
+    import spark.implicits._
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest().getOrElse(return)
+    val parts = snap.base.toSeq ++ snap.segments
+    // fully distributed: dead docs stream straight into the tombstone table
+    val dead: Seq[DataFrame] = parts.flatMap { d =>
+      val tid = spark.read.parquet(s"$d/termdict")
+        .filter(col("term") === term).select("term_id").as[Long].collect()
+      if (tid.isEmpty) None
+      else Some(spark.read.parquet(s"$d/postings")
+        .filter(col("term_id") === tid.head)
+        .select(graft.codec.ScoreBlock.cols.map(col): _*)
+        .as[graft.codec.ScoreBlock]
+        .flatMap(b => graft.codec.PostingCodec.decode(b)._1.iterator)
+        .toDF("doc_id"))
+    }
+    if (dead.isEmpty) return
+    val tombDir = s"$indexDir/tomb-${snap.id + 1}"
+    dead.reduce(_ unionByName _).write.mode("overwrite").parquet(tombDir)
+    log.commit(snap.maxDoc, snap.base, snap.segments, snap.tombs :+ tombDir)
   }
 
   /** Merge base + all segments into a fresh base snapshot (SegmentMerger +
@@ -62,11 +106,21 @@ object StreamingIndexer {
     import spark.implicits._
     val log = new SnapshotLog(indexDir, spark)
     val snap = log.latest().getOrElse(return)
-    // no segments -> nothing to fold in (a bare base is already compact, and
-    // an empty snapshot must not reach the parts reduce below)
-    if (snap.segments.isEmpty) return
+    // nothing to fold in and nothing to purge -> no-op (a bare base is
+    // already compact, and an empty snapshot must not reach the reduce below)
+    if (snap.segments.isEmpty && snap.tombs.isEmpty) return
     val parts = snap.base.toSeq ++ snap.segments
     val newBase = s"$indexDir/base-${snap.id + 1}"
+    // Tombstone purge (LiveDocsFormat -> SegmentMerger drop-deleted
+    // semantics): the buffered delete set is bounded by the delete rate per
+    // compaction interval (it is flushed here), so a broadcast set is the
+    // right distribution strategy — each run re-encodes locally.
+    val tombDf: Option[DataFrame] =
+      if (snap.tombs.isEmpty) None
+      else Some(snap.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
+        .select("doc_id").distinct())
+    val tombSet = tombDf.map(df =>
+      spark.sparkContext.broadcast(df.as[Long].collect().toSet))
     // postings (term_id) -> Run rows (term): reverse the per-segment dict
     val runs: DataFrame = parts.map { dir =>
       val dict = spark.read.parquet(s"$dir/termdict").select("term", "term_id")
@@ -77,16 +131,30 @@ object StreamingIndexer {
           lit(0L).as("sum_tf"), col("max_tf"), col("max_nb"),
           col("doc_bytes"), col("tf_bytes"), col("norm_bytes"), col("pos_bytes"))
     }.reduce(_ unionByName _)
-    // recompute per-run sum_tf (needed for ttf) by decoding tf cells
-    val fixed = runs.as[graft.model.Run].map { r =>
-      val tfs = graft.codec.ForCodec.unpack(r.tf_bytes)
-      r.copy(sum_tf = tfs.sum)
+    // recompute per-run sum_tf (needed for ttf) by decoding tf cells; when
+    // tombstones exist, drop dead postings and re-encode (the purge)
+    val fixed = runs.as[graft.model.Run].flatMap { r =>
+      tombSet match {
+        case None =>
+          val tfs = graft.codec.ForCodec.unpack(r.tf_bytes)
+          Iterator.single(r.copy(sum_tf = tfs.sum))
+        case Some(dead) =>
+          val (docs, tfs, norms) = IndexBuilder.decodeRun(r)
+          val poss = graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
+          val keep = docs.indices.filter(i => !dead.value.contains(docs(i)))
+          if (keep.isEmpty) Iterator.empty
+          else Iterator.single(IndexBuilder.encodeRunRow(r.pid, r.term,
+            keep.map(docs).toArray, keep.map(tfs).toArray,
+            keep.map(norms).toArray, keep.map(poss).toArray))
+      }
     }
     fixed.write.mode("overwrite").parquet(s"$newBase/runs")
-    // norms: concatenate (doc spaces are disjoint)
-    parts.map(d => spark.read.parquet(s"$d/norms")).reduce(_ unionByName _)
+    def purged(df: DataFrame): DataFrame =
+      tombDf.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    // norms: concatenate (doc spaces are disjoint), minus buried docs
+    purged(parts.map(d => spark.read.parquet(s"$d/norms")).reduce(_ unionByName _))
       .write.mode("overwrite").parquet(s"$newBase/norms")
-    parts.map(d => spark.read.parquet(s"$d/docmap")).reduce(_ unionByName _)
+    purged(parts.map(d => spark.read.parquet(s"$d/docmap")).reduce(_ unionByName _))
       .write.mode("overwrite").parquet(s"$newBase/docmap")
     val manifest = new graft.build.ManifestStore(newBase, spark)
     manifest.commit("docmap", -1L, 0L, Some(s"$newBase/docmap"))

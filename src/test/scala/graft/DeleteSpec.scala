@@ -1,0 +1,77 @@
+package graft
+
+import graft.build.{IndexBuilder, Tombstones}
+import graft.fixtures.Transcripts
+import graft.query.{Query, Searcher, WandSearcher}
+import graft.streaming.{SegmentedSearcher, SnapshotLog, StreamingIndexer}
+import graft.verify.IndexVerifier
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Deletes/updates via tombstones: anti-join at query time (liveDocs
+  * semantics), physical purge at compaction (SegmentMerger drop-deleted) —
+  * reference behavior contract: IndexWriter.cs:1693,1751, BufferedUpdates.cs:38,
+  * LiveDocsFormat.cs.
+  */
+class DeleteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("batch index: tombstoned docs drop from every query path") {
+    val dir = Files.createTempDirectory("graft_del_batch").toString
+    IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 150), dir)
+    val pre = new Searcher(spark, dir)
+    val top = pre.search(Query.Term("time"), 10).collect().map(_.getLong(0)).toSeq
+    assert(top.nonEmpty)
+    // bury the current top-2 docs
+    Tombstones.append(spark, dir, top.take(2))
+    val post = new Searcher(spark, dir)
+    val afterEx = post.search(Query.Term("time"), 10).collect().map(_.getLong(0)).toSeq
+    assert(afterEx.intersect(top.take(2)).isEmpty)
+    assert(afterEx.take(8) == top.drop(2), "survivors keep their order")
+    // block-max path falls back but must agree exactly
+    val wand = new WandSearcher(spark, dir)
+      .search(Query.Term("time"), 10).collect().map(_.getLong(0)).toSeq
+    assert(wand == afterEx)
+    // phrase path applies liveDocs too
+    val ph = post.search(Query.Phrase(Seq("time", "person")), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ph.intersect(top.take(2)).isEmpty)
+  }
+
+  test("streaming: delete-by-term hides docs; compaction purges them") {
+    val dir = Files.createTempDirectory("graft_del_stream").toString
+    val all = Transcripts.local(80)
+    val cut = all.size / 2
+    StreamingIndexer.appendSegment(spark.createDataset(all.take(cut)), dir, autoCompact = false)
+    StreamingIndexer.appendSegment(spark.createDataset(all.drop(cut)), dir, autoCompact = false)
+
+    StreamingIndexer.deleteByTerm(spark, dir, "person")
+    val snap1 = new SnapshotLog(dir, spark).latest().get
+    assert(snap1.tombs.nonEmpty)
+    val dead = snap1.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dead.nonEmpty)
+
+    // read-your-deletes before compaction
+    val seg = new SegmentedSearcher(spark, dir)
+    val hits = seg.search(Query.Term("time"), 1000).collect().map(_.getLong(0)).toSet
+    assert(hits.intersect(dead).isEmpty)
+    assert(seg.search(Query.Term("person"), 1000).count() == 0)
+
+    // compaction purges: snapshot drops tombs, postings/norms shrink
+    StreamingIndexer.compact(spark, dir)
+    val snap2 = new SnapshotLog(dir, spark).latest().get
+    assert(snap2.tombs.isEmpty && snap2.base.isDefined && snap2.segments.isEmpty)
+    val base = snap2.base.get
+    assert(IndexVerifier.verify(spark, base).isEmpty)
+    val purged = new Searcher(spark, base)
+    assert(purged.search(Query.Term("person"), 1000).count() == 0)
+    assert(purged.stats.max_doc == all.size - dead.size)
+    val docmapIds = spark.read.parquet(s"$base/docmap").select("doc_id").as[Long].collect().toSet
+    assert(docmapIds.intersect(dead).isEmpty)
+    // maxDoc high-water mark is preserved so future appends never reuse ids
+    assert(snap2.maxDoc == all.size)
+  }
+}
