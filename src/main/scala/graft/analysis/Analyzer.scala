@@ -26,7 +26,71 @@ final case class Token(term: String, posIncr: Int)
   * tokenize identically): `[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*`
   * applied to the lowercased text, then length<=255 + stopword filters.
   */
-object Analyzer extends Serializable {
+/** An analysis chain: tokenizer + filters collapsed to a post-chain token
+  * stream where `null` marks a consumed-position hole (a dropped stopword or
+  * over-long token). Every index/query consumer (positions, term
+  * frequencies, norms length) derives from this one method, so alternate
+  * chains (EnglishAnalyzer, custom combinators) plug in by overriding it —
+  * the functional analog of Analyzer.CreateComponents
+  * (/root/reference/src/Lucene.Net/Analysis/Analyzer.cs:33-116).
+  */
+trait TextAnalyzer extends Serializable {
+
+  /** Post-chain token stream; null = hole (position consumed, no term). */
+  def tokens(text: String): mutable.ArrayBuffer[String]
+
+  /** Per-term sorted position lists (tf = list length) plus emitted-token
+    * count. A position is the raw token ordinal — holes still consume one,
+    * exactly the accumulated position-increment bookkeeping of the
+    * reference's DocInverter
+    * (/root/reference/src/Lucene.Net/Index/DocInverterPerField.cs:131-195).
+    */
+  final def termPositions(text: String): (mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int) = {
+    val m = new mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
+    var len = 0
+    var p = -1
+    tokens(text).foreach { t =>
+      p += 1
+      if (t != null) {
+        m.getOrElseUpdate(t, new mutable.ArrayBuffer[Int](1)) += p
+        len += 1
+      }
+    }
+    (m, len)
+  }
+
+  /** Emitted terms in order (no position bookkeeping). */
+  final def terms(text: String): Array[String] =
+    tokens(text).iterator.filter(_ != null).toArray
+
+  /** Per-term frequency map plus emitted-token count (the BM25 norm length;
+    * counts only emitted tokens, SURVEY.md §2.4 item 1).
+    */
+  final def termFreqs(text: String): (mutable.HashMap[String, Int], Int) = {
+    val tf = new mutable.HashMap[String, Int]()
+    var len = 0
+    tokens(text).foreach { t =>
+      if (t != null) {
+        tf.updateWith(t) { case Some(c) => Some(c + 1); case None => Some(1) }
+        len += 1
+      }
+    }
+    (tf, len)
+  }
+
+  /** Full chain with position increments (golden-table semantics). */
+  final def analyze(text: String): Array[Token] = {
+    val out = new mutable.ArrayBuffer[Token]()
+    var pending = 1
+    tokens(text).foreach { t =>
+      if (t == null) pending += 1
+      else { out += Token(t, pending); pending = 1 }
+    }
+    out.toArray
+  }
+}
+
+object Analyzer extends TextAnalyzer {
 
   /** The classic 33 English stopwords
     * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Core/StopAnalyzer.cs:48-56).
@@ -48,7 +112,7 @@ object Analyzer extends Serializable {
   /** Raw tokenizer: lowercased token strings in order, >MaxTokenLength dropped
     * as `null` placeholders so callers can track position holes.
     */
-  private def rawTokens(text: String): mutable.ArrayBuffer[String] = {
+  private[analysis] def rawTokens(text: String): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String]()
     val n = text.length
     var i = 0
@@ -79,54 +143,36 @@ object Analyzer extends Serializable {
     out
   }
 
-  /** Full chain with position increments (golden-table semantics, FIXTURES.md §2). */
-  def analyze(text: String): Array[Token] = {
-    val out = new mutable.ArrayBuffer[Token]()
-    var pending = 1
-    rawTokens(text).foreach { t =>
-      if (t == null || Stopwords.contains(t)) pending += 1
-      else { out += Token(t, pending); pending = 1 }
+  /** StandardAnalyzer chain: tokenize -> lowercase -> stop (nulls = holes). */
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val raw = rawTokens(text)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) != null && Stopwords.contains(raw(i))) raw(i) = null
+      i += 1
     }
-    out.toArray
+    raw
   }
+}
 
-  /** Emitted terms in order (no position bookkeeping) — for phrase matching. */
-  def terms(text: String): Array[String] =
-    rawTokens(text).iterator.filter(t => t != null && !Stopwords.contains(t)).toArray
-
-  /** Indexing path with positions: per-term sorted position lists (tf =
-    * list length) plus the emitted-token count. A position is the raw token
-    * ordinal — stopword and overlong holes still consume one position, which
-    * is exactly the accumulated position-increment bookkeeping of the
-    * reference's DocInverter
-    * (/root/reference/src/Lucene.Net/Index/DocInverterPerField.cs:131-195).
-    */
-  def termPositions(text: String): (mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int) = {
-    val m = new mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
-    var len = 0
-    var p = -1
-    rawTokens(text).foreach { t =>
-      p += 1
-      if (t != null && !Stopwords.contains(t)) {
-        m.getOrElseUpdate(t, new mutable.ArrayBuffer[Int](1)) += p
-        len += 1
+/** EnglishAnalyzer-equivalent chain: tokenizer -> possessive strip ->
+  * lowercase -> stop -> Porter stem
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/En/EnglishAnalyzer.cs
+  * component order; possessive filter EnglishPossessiveFilter.cs, stemmer
+  * PorterStemFilter.cs:53).
+  */
+object EnglishAnalyzer extends TextAnalyzer {
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val raw = Analyzer.rawTokens(text)
+    var i = 0
+    while (i < raw.length) {
+      val t0 = raw(i)
+      if (t0 != null) {
+        val t1 = if (t0.endsWith("'s")) t0.dropRight(2) else t0 // possessive
+        raw(i) = if (Analyzer.Stopwords.contains(t1)) null else PorterStemmer.stem(t1)
       }
+      i += 1
     }
-    (m, len)
-  }
-
-  /** Indexing fast path: per-term frequency map plus emitted-token count
-    * (the BM25 norm length; counts only emitted tokens, SURVEY.md §2.4 item 1).
-    */
-  def termFreqs(text: String): (mutable.HashMap[String, Int], Int) = {
-    val tf = new mutable.HashMap[String, Int]()
-    var len = 0
-    rawTokens(text).foreach { t =>
-      if (t != null && !Stopwords.contains(t)) {
-        tf.updateWith(t) { case Some(c) => Some(c + 1); case None => Some(1) }
-        len += 1
-      }
-    }
-    (tf, len)
+    raw
   }
 }

@@ -1,6 +1,6 @@
 package graft.build
 
-import graft.analysis.Analyzer
+import graft.analysis.{Analyzer, TextAnalyzer}
 import graft.codec.{ForCodec, PostingCodec, PostingBlock, SmallFloat}
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -66,7 +66,10 @@ object IndexBuilder {
       // for every distinct term it contains, so tying segment count to cores
       // multiplies the run table superlinearly with cluster size. 0 = fall
       // back to numPartitions.
-      segmentPartitions: Int = 0)
+      segmentPartitions: Int = 0,
+      // Analysis chain for tokenization (StandardAnalyzer-equivalent by
+      // default; e.g. graft.analysis.EnglishAnalyzer for stemmed indexes).
+      analyzer: TextAnalyzer = Analyzer)
 
   /** Entry point for the transcripts north star: ONE pass over the text.
     *
@@ -95,6 +98,7 @@ object IndexBuilder {
     val segP = if (opts.segmentPartitions > 0) opts.segmentPartitions
                else partitions(spark, opts)
     val keys = Seq(col("conv_id"), col("turn_idx"))
+    val bAn = spark.sparkContext.broadcast(opts.analyzer)
     if (!manifest.isDone("runs")) {
       val t0 = System.nanoTime()
       turns.toDF()
@@ -104,7 +108,7 @@ object IndexBuilder {
         .as[(String, Int, String)]
         .mapPartitions { it =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          buildRunsWithDocmap(pid, it)
+          buildRunsWithDocmap(pid, it, bAn.value)
         }
         .write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
@@ -137,7 +141,7 @@ object IndexBuilder {
     * pseudo-runs, with partition-local doc ids.
     */
   private def buildRunsWithDocmap(pid: Int,
-      it: Iterator[(String, Int, String)]): Iterator[Run] = {
+      it: Iterator[(String, Int, String)], analyzer: TextAnalyzer): Iterator[Run] = {
     val payload = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(payload)
     var chunkStart = 0L
@@ -156,7 +160,7 @@ object IndexBuilder {
       out.writeInt(t)
       if (local - chunkStart + 1 >= RunMaxPostings) flushDocmap()
       (local, text)
-    })
+    }, analyzer)
     // buildRuns drains `it` eagerly before returning its (lazy) run iterator,
     // so docmapRuns is complete here and run encoding stays streaming.
     flushDocmap()
@@ -195,6 +199,7 @@ object IndexBuilder {
     val manifest = new ManifestStore(outDir, spark)
     if (opts.overwrite) manifest.reset()
     val p = partitions(spark, opts)
+    val bAn2 = spark.sparkContext.broadcast(opts.analyzer)
 
     // ---- S1: per-partition posting runs (DWPT analog); ids already global
     if (!manifest.isDone("runs")) {
@@ -204,7 +209,7 @@ object IndexBuilder {
         .repartitionByRange(p, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, String)]
-        .mapPartitions(buildRuns(-1, _))
+        .mapPartitions(buildRuns(-1, _, bAn2.value))
       runs.write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
@@ -323,7 +328,8 @@ object IndexBuilder {
     * TermsHashPerField.cs:31-88): in-memory term hash with growable postings
     * buffers, flushed as compressed runs at partition end.
     */
-  private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)]): Iterator[Run] = {
+  private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)],
+                               analyzer: TextAnalyzer = Analyzer): Iterator[Run] = {
     final class Acc {
       val docs = new mutable.ArrayBuffer[Long]()
       val tfs = new mutable.ArrayBuffer[Int]()
@@ -334,7 +340,7 @@ object IndexBuilder {
     val normDocs = new mutable.ArrayBuffer[Long]()
     val normLens = new mutable.ArrayBuffer[Int]()
     it.foreach { case (docId, text) =>
-      val (tp, len) = Analyzer.termPositions(if (text == null) "" else text)
+      val (tp, len) = analyzer.termPositions(if (text == null) "" else text)
       val nb = SmallFloat.encodeNorm(len)
       normDocs += docId
       normLens += len

@@ -45,6 +45,18 @@ object Gate {
       dir
     })
 
+  /** English-analyzed (Porter-stemmed) index variant over the same corpus. */
+  def indexDirEnglish(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#en", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-en-$name"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      IndexBuilder.build(docs, dir,
+        IndexBuilder.Options(analyzer = graft.analysis.EnglishAnalyzer))
+      dir
+    })
+
   // ---------- double-precision parity scoring (mirrors GateOracle SQL) ------
 
   /** NORM_TABLE value for an unsigned norm byte, in double:
@@ -81,9 +93,14 @@ object Gate {
     * the postings table (Parquet row-group pruning on term_id does the term
     * seek). Returns (doc_id LONG, term STRING, s DOUBLE).
     */
-  def hits(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame = {
+  def hits(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
+    hitsIn(spark, indexDir(spark, sfDir), terms)
+
+  /** Like [[hits]] but against an explicit index directory (used by the
+    * English-analyzed variant).
+    */
+  def hitsIn(spark: SparkSession, idx: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val idx = indexDir(spark, sfDir)
     val st = stats(spark, idx)
     val n = st.max_doc
     val avgdl = st.sum_ttf.toDouble / n
@@ -204,6 +221,18 @@ object Gate {
     }),
     // --- search: term / boolean algebra / dismax / phrase ------------------
     "ft_q_term" -> ((s, d) => topkSum(s, d, Seq("vector"), 10)),
+    "ft_q_term_stemmed" -> ((s, d) => {
+      // EnglishAnalyzer index variant: the query analyzes through the same
+      // chain ('merge' -> 'merg') and must hit the stemmed posting list. On
+      // this closed corpus every stem group is a single surface form (checked
+      // in PorterSpec), so the unstemmed SQL oracle is exactly equivalent;
+      // the stemmer's own semantics carry golden-vector coverage in
+      // PorterSpec.
+      val idx = indexDirEnglish(s, d)
+      val stemmed = graft.analysis.EnglishAnalyzer.terms("merge").head
+      rank(hitsIn(s, idx, Seq(stemmed))
+        .groupBy("doc_id").agg(sum("s").as("sd")), 10)
+    }),
     "ft_q_term_rare" -> ((s, d) => topkSum(s, d, Seq("dup"), 10)),
     "ft_q_or" -> ((s, d) => topkSum(s, d, Seq("spark", "window"), 10)),
     "ft_q_and" -> ((s, d) =>

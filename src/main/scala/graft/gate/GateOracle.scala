@@ -88,6 +88,7 @@ object GateOracle {
          |SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM tfs
          |WHERE term = 'query' ORDER BY doc_id""".stripMargin,
     "ft_q_term" -> topk("term = 'vector'"),
+    "ft_q_term_stemmed" -> topk("term = 'merge'"),
     "ft_q_term_rare" -> topk("term = 'dup'"),
     "ft_q_or" -> topk(inList("spark", "window")),
     "ft_q_and" -> topk(inList("hash", "merge"), having = "HAVING count(*) = 2"),
