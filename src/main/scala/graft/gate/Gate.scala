@@ -771,11 +771,23 @@ object Gate {
         (id, sig)
       }
       .toDF("doc_id", "sig")
+    // Hamming-LSH banding (pigeonhole): distance <= 3 over 16 bits means at
+    // least one of the 4 nibbles is identical, so candidates come from an
+    // equality join on (nibble_index, nibble_value) — no cross product, and
+    // the plan must stay free of CartesianProduct/BroadcastNestedLoopJoin.
+    val nibbles = (0 until 4).map(i =>
+      shiftright(col("sig"), i * 4).bitwiseAND(lit(15)))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(nibbles: _*)).as(Seq("band", "nv")))
     val marked = hits(spark, sfDir, Seq("dup")).select(col("doc_id").as("d1")).distinct()
-    marked
-      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-      .crossJoin(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")))
+    val markedBands = marked.join(
+      banded.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+        col("band"), col("nv")), "d1")
+    markedBands
+      .join(banded.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+        col("band"), col("nv")), Seq("band", "nv"))
       .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2", "sig1", "sig2").distinct()
       .withColumn("ham", expr("bit_count(sig1 ^ sig2)"))
       .filter(col("ham") <= 3)
       .select(col("d1"), col("d2"), col("ham").cast("long").as("hamming"))
@@ -788,19 +800,23 @@ object Gate {
     Integer.parseInt(hex.substring(0, 4), 16)
   }
 
-  /** LSH-bucketed approximate nearest neighbours: 4 deterministic md5-derived
-    * random hyperplanes; candidates share the query vector's sign-bucket;
-    * exact cosine re-rank within the bucket (the scale path next to the
-    * brute-force sim_topk baseline).
+  /** LSH-bucketed approximate nearest neighbours: 16 deterministic
+    * md5-derived random hyperplanes -> 65536 sign buckets, MULTI-PROBE over
+    * every bucket within Hamming distance 3 of the query's (697 probes ~ 1%
+    * of the bucket space, an explicit probe set that prunes a
+    * bucket-partitioned table at scale), exact cosine re-rank within the
+    * probed buckets (the scale path next to the brute-force sim_topk
+    * baseline).
     */
   def annLsh(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
+    val NumPlanes = 16
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val dim = emb.head()._2.length
     // hyperplane h(p)[j] = (first-byte of md5(p|j)) - 127.5  — identical in SQL
-    val planes: Array[Array[Double]] = Array.tabulate(4) { p =>
+    val planes: Array[Array[Double]] = Array.tabulate(NumPlanes) { p =>
       Array.tabulate(dim) { j =>
         Integer.parseInt(
           org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p|$j").substring(0, 2),
@@ -811,7 +827,7 @@ object Gate {
     def bucketOf(e: Array[Float]): Int = {
       var bits = 0
       var p = 0
-      while (p < 4) {
+      while (p < NumPlanes) {
         var dot = 0.0
         var j = 0
         while (j < e.length) { dot += e(j).toDouble * bp.value(p)(j); j += 1 }
@@ -822,9 +838,13 @@ object Gate {
     }
     val withBuckets = emb.map { case (id, e) => (id, e, bucketOf(e)) }
     val (qid, qv, qb) = withBuckets.filter(_._1 == 0L).head()
+    // multi-probe set: the query bucket plus all 1-, 2- and 3-bit flips
+    val probeSet: Set[Int] =
+      (0 until (1 << NumPlanes)).iterator
+        .filter(b => Integer.bitCount(b ^ qb) <= 3).toSet
     val bq = spark.sparkContext.broadcast(qv.map(_.toDouble))
     val nq = math.sqrt(bq.value.map(x => x * x).sum)
-    withBuckets.filter(r => r._3 == qb && r._1 != qid)
+    withBuckets.filter(r => probeSet.contains(r._3) && r._1 != qid)
       .map { case (id, e, _) =>
         var dot = 0.0; var ne = 0.0; var j = 0
         while (j < e.length) {

@@ -412,7 +412,7 @@ object GateOracle {
          |  SELECT p.p AS p, j.j AS j,
          |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) * 16 +
          |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 2, 1)) - 1) - 127.5 AS w
-         |  FROM (SELECT unnest(range(0, 4)) AS p) p
+         |  FROM (SELECT unnest(range(0, 16)) AS p) p
          |  CROSS JOIN (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
          |), dots AS (
          |  SELECT e.vec_id, pl.p, sum(e.ev[pl.j + 1] * pl.w) AS dot
@@ -425,7 +425,7 @@ object GateOracle {
          |  SELECT e.ev AS qv, buck.b AS qb FROM e JOIN buck USING (vec_id) WHERE vec_id = 0
          |), cand AS (
          |  SELECT e.vec_id, e.ev FROM e JOIN buck USING (vec_id) CROSS JOIN q
-         |  WHERE buck.b = q.qb AND e.vec_id <> 0
+         |  WHERE bit_count(xor(buck.b, q.qb)) <= 3 AND e.vec_id <> 0
          |), d AS (
          |  SELECT c.vec_id,
          |    list_sum(list_transform(range(1, len(c.ev) + 1), i -> c.ev[i] * q.qv[i])) AS dot,
