@@ -403,6 +403,22 @@ object Gate {
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
+    "multimodal_meta" -> ((s, d) => {
+      // Multimodal-column plumbing over an opaque binary column (the text
+      // bytes stand in for undecodable media; engine-side typed extraction
+      // incl. the stubbed decoder lives in graft.multimodal.Media, tested in
+      // MediaSpec): byte length, checksum, and a stride-16 byte "frame
+      // sample" — all computed on the binary, never the string.
+      val m = docsTable(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      m.select(col("doc_id"),
+          length(col("media")).cast("long").as("byte_len"),
+          md5(col("media")).as("checksum"),
+          concat((0 until 4).map(i =>
+            hex(substring(col("media"), 1 + 16 * i, 1))): _*).as("frame_sample"))
+        .orderBy("doc_id")
+        .limit(100)
+    }),
     "sim_topk" -> ((s, d) => simTopk(s, d, 10)),
     "sessionize" -> ((s, d) => sessionize(s, d))
   )

@@ -449,6 +449,14 @@ object GateOracle {
          |JOIN raws r USING (doc_id)
          |LEFT JOIN dts dt USING (doc_id)
          |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  hex(encode(substring(text, 1, 1))) || hex(encode(substring(text, 17, 1)))
+        |    || hex(encode(substring(text, 33, 1))) || hex(encode(substring(text, 49, 1)))
+        |    AS frame_sample
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

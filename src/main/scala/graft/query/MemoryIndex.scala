@@ -1,0 +1,81 @@
+package graft.query
+
+import graft.analysis.{Analyzer, TextAnalyzer}
+import graft.codec.SmallFloat
+import graft.score.Bm25
+
+/** Single-document in-RAM index for percolation/highlighting — the
+  * MemoryIndex analog (/root/reference/src/Lucene.Net.Memory/MemoryIndex.cs:159):
+  * one analyzed document held as term -> positions, queried with the same
+  * Query ADT. Scores use the document's own single-doc statistics
+  * (maxDoc = 1, df = 1, sumTtf = field length), exactly how the reference's
+  * MemoryIndex scores against itself.
+  */
+final class MemoryIndex(text: String, analyzer: TextAnalyzer = Analyzer) {
+
+  private val (tp, len) = analyzer.termPositions(text)
+  private val nb: Byte = SmallFloat.encodeNorm(len)
+  private val cache: Array[Float] =
+    Bm25.buildCache(Bm25.avgFieldLength(len.toLong, 1L))
+
+  private def tf(t: String): Int = tp.get(t).map(_.length).getOrElse(0)
+
+  /** Percolation: does the (single) document match the query? */
+  def matches(q: Query): Boolean = q match {
+    case Query.Term(t, _) => tf(t) > 0
+    case Query.Bool(must, should, mustNot, mm) =>
+      must.forall(tf(_) > 0) &&
+        mustNot.forall(tf(_) == 0) &&
+        should.count(tf(_) > 0) >= math.max(mm, if (must.isEmpty) 1 else 0)
+    case Query.BoolQ(clauses, mm) =>
+      val must = clauses.collect { case (Query.Must, Query.Term(t, _)) => t }
+      val should = clauses.collect { case (Query.Should, Query.Term(t, _)) => t }
+      val not = clauses.collect { case (Query.MustNot, Query.Term(t, _)) => t }
+      must.forall(tf(_) > 0) && not.forall(tf(_) == 0) &&
+        should.count(tf(_) > 0) >= math.max(mm, if (must.isEmpty) 1 else 0)
+    case p: Query.Phrase => phraseFreq(p) > 0.0f
+    case other => throw new UnsupportedOperationException(s"MemoryIndex: $other")
+  }
+
+  /** BM25 score against the single-doc statistics; 0 when no match. */
+  def score(q: Query): Float = q match {
+    case Query.Term(t, boost) =>
+      val f = tf(t)
+      if (f == 0) 0.0f
+      else Bm25.score(Bm25.weightValue(Bm25.idf(1L, 1L), boost), f.toFloat, cache, nb)
+    case p: Query.Phrase =>
+      val pf = phraseFreq(p)
+      if (pf <= 0.0f) 0.0f
+      else {
+        var idfSum = 0.0f
+        p.terms.foreach(_ => idfSum += Bm25.idf(1L, 1L))
+        Bm25.score(Bm25.weightValue(idfSum, p.boost), pf, cache, nb)
+      }
+    case other => throw new UnsupportedOperationException(s"MemoryIndex score: $other")
+  }
+
+  private def phraseFreq(p: Query.Phrase): Float = {
+    if (p.terms.exists(tf(_) == 0)) return 0.0f
+    val cp = p.terms.map(t => tp(t).toArray).toArray
+    if (p.slop == 0) {
+      var c = 0
+      cp(0).foreach { p0 =>
+        if (cp.indices.drop(1).forall(i =>
+          java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0)) c += 1
+      }
+      c.toFloat
+    } else {
+      require(p.terms.size == 2, "sloppy phrase supports two terms")
+      var pf = 0.0f
+      cp(0).foreach { p1 =>
+        var best = Int.MaxValue
+        cp(1).foreach { p2 =>
+          val d = math.abs(p2 - p1 - 1)
+          if (d < best) best = d
+        }
+        if (best <= p.slop) pf += 1.0f / (best + 1)
+      }
+      pf
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.Media
+import graft.query.{MemoryIndex, Query}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary-column plumbing (stubbed decode, real schema/batching)
+  * and the single-doc MemoryIndex.
+  */
+class MediaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("extractMeta: typed schema, determinism, null safety") {
+    val df = Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, Array.tabulate(300)(_.toByte))
+    ).toDF("doc_id", "media")
+    val meta = Media.extractMeta(df, "doc_id", "media").collect().sortBy(_.doc_id)
+    assert(meta.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(meta(0).byte_len == 11L)
+    assert(meta(1).kind == "empty" && meta(2).kind == "empty")
+    assert(meta(3).byte_len == 300L)
+    assert(meta(3).width >= 16 && meta(3).width < 256)
+    // deterministic: same input -> same fake decode
+    val again = Media.extractMeta(df, "doc_id", "media").collect().sortBy(_.doc_id)
+    assert(meta.toSeq == again.toSeq)
+    // checksum is the bytes' md5
+    assert(meta(0).checksum ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("hello world".getBytes("UTF-8")))
+  }
+
+  test("sampleFrames: offsets, bounds, count cap") {
+    val bytes = Array.tabulate(100)(_.toByte)
+    val frames = Media.sampleFrames(bytes, frameSize = 8, stride = 32, n = 5)
+    assert(frames.length == 3) // offsets 0, 32, 64 fit; 96+8 > 100
+    assert(frames(0).toSeq == (0 until 8).map(_.toByte))
+    assert(frames(1).toSeq == (32 until 40).map(_.toByte))
+    assert(Media.sampleFrames(bytes, 8, 32, 1).length == 1)
+    assert(Media.sampleFrames(Array.emptyByteArray, 8, 32, 5).isEmpty)
+  }
+
+  test("MemoryIndex percolation and scoring") {
+    val mi = new MemoryIndex("the quick brown fox jumps over the lazy dog")
+    assert(mi.matches(Query.Term("fox")))
+    assert(!mi.matches(Query.Term("cat")))
+    assert(!mi.matches(Query.Term("the"))) // stopword never indexed
+    assert(mi.matches(Query.parse("+quick +dog")))
+    assert(!mi.matches(Query.parse("+quick +cat")))
+    assert(mi.matches(Query.parse("\"quick brown\"")))
+    assert(!mi.matches(Query.parse("\"brown quick\"")))
+    assert(mi.matches(Query.Phrase(Seq("brown", "quick"), slop = 2))) // reordered in slop
+    assert(mi.score(Query.Term("fox")) > 0.0f)
+    assert(mi.score(Query.Term("cat")) == 0.0f)
+    // position holes: 'over the lazy' -> 'over' at 4, 'lazy' at 6
+    assert(mi.matches(Query.Phrase(Seq("jumps", "over"))))
+    assert(!mi.matches(Query.Phrase(Seq("over", "lazy")))) // hole breaks slop-0
+  }
+}
