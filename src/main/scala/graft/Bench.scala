@@ -121,13 +121,31 @@ object Bench {
       val lEx = queryStrs.map { qs =>
         timed(searcher.search(Query.parse(qs), 10).collect())._2
       }.sorted
+      var skipped = 0L
+      var scanned = 0L
       val lWd = queryStrs.map { qs =>
-        timed(wand.search(Query.parse(qs), 10).collect())._2
+        val t = timed(wand.search(Query.parse(qs), 10).collect())._2
+        skipped += wand.lastSkipped.map(_.value.longValue).getOrElse(0L)
+        scanned += wand.lastScanned.map(_.value.longValue).getOrElse(0L)
+        t
       }.sorted
       out += "query_p50_ms" -> pct(lEx, 0.5) * 1000
       out += "query_p95_ms" -> pct(lEx, 0.95) * 1000
       out += "wand_p50_ms" -> pct(lWd, 0.5) * 1000
       out += "wand_p95_ms" -> pct(lWd, 0.95) * 1000
+      out += "wand_skipped_blocks" -> skipped.toDouble
+      out += "wand_scanned_blocks" -> scanned.toDouble
+      out += "wand_skip_ratio" ->
+        (if (skipped + scanned > 0) skipped.toDouble / (skipped + scanned) else 0.0)
+      // native positional phrase latency (exact + sloppy), reported separately
+      // so the 24-query p50/p95 series stays comparable round-over-round
+      val phraseStrs = Seq("\"time person\"", "\"spark index\"",
+        "\"search query\"~2", "\"year day\"~3")
+      phraseStrs.foreach(qs => searcher.search(Query.parse(qs), 10).collect())
+      val lPh = phraseStrs.map { qs =>
+        timed(searcher.search(Query.parse(qs), 10).collect())._2
+      }.sorted
+      out += "phrase_p50_ms" -> pct(lPh, 0.5) * 1000
       s.stop()
     }
 

@@ -53,7 +53,9 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
   import spark.implicits._
 
   private val base = new Searcher(spark, indexDir)
-  private def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  // one relation, one file listing, reused across queries (same reasoning as
+  // Searcher.postings — per-query re-listing is a driver hotspot at scale)
+  private lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
   /** Blocks skipped/scanned by the last search (for tests/metrics). */
   @transient var lastSkipped: Option[LongAccumulator] = None
