@@ -13,7 +13,8 @@ import scala.collection.mutable
   * engine must be rank- and score-bit-identical, stronger than the
   * reference's 1e-3 tolerance.
   */
-final class BruteForce(docs: Seq[(Long, String)]) {
+final class BruteForce(docs: Seq[(Long, String)],
+                       similarity: graft.score.Similarity = graft.score.Bm25Similarity) {
 
   private val positions: Seq[(Long, mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int)] =
     docs.map { case (id, t) => val (tp, len) = Analyzer.termPositions(t); (id, tp, len) }
@@ -27,6 +28,9 @@ final class BruteForce(docs: Seq[(Long, String)]) {
   val sumTtf: Long = analyzed.map(_._3.toLong).sum
   private val df: Map[String, Long] =
     analyzed.flatMap(_._2.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+  private val ttf: Map[String, Long] =
+    analyzed.flatMap(_._2).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2.toLong).sum }
+  private val collStats = graft.model.CollectionStats(maxDoc, maxDoc, sumTtf, df.values.sum)
   /** Dense term ids by ascending term — same contract as the index build. */
   val termIds: Map[String, Long] = df.keys.toSeq.sorted.zipWithIndex
     .map { case (t, i) => t -> i.toLong }.toMap
@@ -132,9 +136,9 @@ final class BruteForce(docs: Seq[(Long, String)]) {
     val pos = (must ++ should).filter(df.contains)
     if (pos.isEmpty) return Nil
     val mustSet = must.toSet
-    val weights: Seq[(String, Bm25.TermWeight)] = pos
+    val weights: Seq[(String, graft.score.Similarity.TermScorer)] = pos
       .sortBy(t => termIds(t)) // canonical ascending-term_id clause order
-      .map(t => t -> Bm25.termWeight(termIds(t), df(t), maxDoc, sumTtf, boosts(t)))
+      .map(t => t -> similarity.termScorer(df(t), ttf(t), collStats, boosts(t)))
     val out = analyzed.flatMap { case (id, tf, len) =>
       if (mustNot.exists(tf.contains)) None
       else {
@@ -145,7 +149,7 @@ final class BruteForce(docs: Seq[(Long, String)]) {
         weights.foreach { case (t, w) =>
           tf.get(t).foreach { f =>
             if (mustSet.contains(t)) mustSeen += 1 else shouldSeen += 1
-            score += Bm25.score(w.weightValue, f.toFloat, w.cache, nb)
+            score += w.score(f.toFloat, nb)
           }
         }
         val ok = mustSeen == mustSet.count(df.contains) && mustSeen == must.size &&

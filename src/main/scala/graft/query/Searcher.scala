@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *   tie-break (score desc, then smaller docID;
   *   /root/reference/src/Lucene.Net/Search/HitQueue.cs:88-105).
   */
-final class Searcher(val spark: SparkSession, indexDir: String) extends Serializable {
+final class Searcher(val spark: SparkSession, indexDir: String,
+                     similarity: graft.score.Similarity = graft.score.Bm25Similarity)
+    extends Serializable {
   import spark.implicits._
 
   val stats: CollectionStats =
@@ -150,9 +152,12 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
 
     val posTerms = (must ++ should).filter(dict.contains)
     val notTerms = mustNot.filter(dict.contains)
-    val weights: Map[Long, Bm25.TermWeight] = posTerms.map { t =>
+    // Similarity seam: ComputeWeight once per term (stats binding), score
+    // closure per posting. The default Bm25Similarity delegates to the same
+    // bit-exact kernel as before.
+    val weights: Map[Long, graft.score.Similarity.TermScorer] = posTerms.map { t =>
       val d = dict(t)
-      d.term_id -> Bm25.termWeight(d.term_id, d.df, stats.max_doc, stats.sum_ttf, boosts(t))
+      d.term_id -> similarity.termScorer(d.df, d.ttf, stats, boosts(t))
     }.toMap
     val mustIds = must.flatMap(dict.get).map(_.term_id).toSet
     val shouldIds = should.flatMap(dict.get).map(_.term_id).toSet
@@ -218,7 +223,7 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
     * Emits (doc_id, term_id, score); excluded (mustNot) terms score 0.
     */
   private def scoredHits(termIds: Seq[Long],
-                         bw: org.apache.spark.broadcast.Broadcast[Map[Long, Bm25.TermWeight]])
+                         bw: org.apache.spark.broadcast.Broadcast[Map[Long, graft.score.Similarity.TermScorer]])
       : org.apache.spark.sql.Dataset[(Long, Long, Float)] = {
     postings
       .filter(col("term_id").isin(termIds: _*)) // pushed to Parquet row groups
@@ -229,7 +234,7 @@ final class Searcher(val spark: SparkSession, indexDir: String) extends Serializ
         bw.value.get(b.term_id) match {
           case Some(w) =>
             docs.indices.iterator.map { i =>
-              (docs(i), b.term_id, Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, norms(i)))
+              (docs(i), b.term_id, w.score(tfs(i).toFloat, norms(i)))
             }
           case None => // mustNot term: presence only
             docs.iterator.map(d => (d, b.term_id, 0.0f))

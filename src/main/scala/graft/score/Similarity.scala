@@ -1,0 +1,74 @@
+package graft.score
+
+import graft.model.CollectionStats
+
+/** Pluggable similarity seam — the SimWeight/SimScorer shape
+  * (/root/reference/src/Lucene.Net/Search/Similarities/Similarity.cs:119-140):
+  * `termScorer` binds collection + term statistics once per query term
+  * (ComputeWeight), the returned closure scores each (tf, normByte) posting
+  * (SimScorer.Score).
+  *
+  * BM25 remains the engine's default and keeps its specialized bit-exact
+  * kernel ([[Bm25]]); [[Bm25Similarity]] wraps that same kernel so plugging
+  * the trait changes nothing on the default path.
+  */
+trait Similarity extends Serializable {
+  def termScorer(df: Long, ttf: Long, stats: CollectionStats, boost: Float): Similarity.TermScorer
+}
+
+object Similarity {
+  trait TermScorer extends Serializable {
+    def score(tf: Float, normByte: Byte): Float
+  }
+}
+
+/** The default: delegates to the float32-exact [[Bm25]] kernel (identical
+  * operations, so rank/score-bit-identity with the oracle is preserved).
+  */
+object Bm25Similarity extends Similarity {
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val w = Bm25.termWeight(0L, df, stats.max_doc, stats.sum_ttf, boost)
+    (tf: Float, nb: Byte) => Bm25.score(w.weightValue, tf, w.cache, nb)
+  }
+}
+
+/** Classic TF-IDF (DefaultSimilarity semantics,
+  * /root/reference/src/Lucene.Net/Search/Similarities/DefaultSimilarity.cs):
+  * tf = sqrt(freq), idf = log(numDocs/(df+1)) + 1,
+  * fieldNorm = byte315ToSingle(normByte) (the stored 1/sqrt(length)),
+  * score = idf^2 * boost * tf * fieldNorm. queryNorm is omitted — it is a
+  * per-query positive constant (rank-invariant), same simplification the
+  * BM25 path inherits from Similarity.QueryNorm == 1. coord is not applied
+  * (BooleanQuery coord differs from BM25's constant 1; documented subset).
+  */
+object ClassicSimilarity extends Similarity {
+  private val normTable: Array[Float] =
+    Array.tabulate(256)(i => graft.codec.SmallFloat.byte315ToSingle(i.toByte))
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val idf = (math.log(stats.max_doc / (df + 1.0)) + 1.0).toFloat
+    val weight = idf * idf * boost
+    (tf: Float, nb: Byte) =>
+      weight * math.sqrt(tf.toDouble).toFloat * normTable(nb & 0xff)
+  }
+}
+
+/** Dirichlet-smoothed query-likelihood language model
+  * (LMDirichletSimilarity semantics,
+  * /root/reference/src/Lucene.Net/Search/Similarities/LMDirichletSimilarity.cs;
+  * mu = 2000 default): score = boost * (log(1 + tf/(mu*P(w|C)))
+  * + log(mu/(dl+mu))), clipped at 0, with dl decoded from the norm byte
+  * (NORM_TABLE ~ quantized field length) and P(w|C) = ttf/sumTtf.
+  */
+final case class LMDirichletSimilarity(mu: Float = 2000f) extends Similarity {
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val pwc = (ttf.toDouble / math.max(stats.sum_ttf, 1L)).toFloat
+    (tf: Float, nb: Byte) => {
+      val dl = Bm25.NormTable(nb & 0xff) // quantized field length
+      val s = (math.log(1.0 + tf / (mu * pwc)) + math.log(mu / (dl + mu))).toFloat * boost
+      if (s > 0f) s else 0f
+    }
+  }
+}
