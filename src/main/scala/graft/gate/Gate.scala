@@ -255,6 +255,15 @@ object Gate {
         .agg((max("s") + lit(0.1) * (sum("s") - max("s"))).as("sd")), 10)),
     "ft_q_phrase" -> ((s, d) => phraseQuery(s, d, "fast", "table", 10)),
     "ft_q_phrase_sloppy" -> ((s, d) => sloppyPhraseQuery(s, d, "fast", "merge", 2, 10)),
+    "ft_q_multi_phrase" -> ((s, d) =>
+      multiPhraseQuery(s, d, Seq("fast", "slow"), "table", 10)),
+    "ft_drill_down" -> ((s, d) =>
+      // DrillDownQuery: base query + conjunctive facet filters
+      // (/root/reference/src/Lucene.Net.Facet/DrillDownQuery.cs:67)
+      rank(hits(s, d, Seq("data"))
+        .join(docsTable(s, d).filter(col("lang") === "en" && col("source") === "src3")
+          .select("doc_id"), "doc_id")
+        .groupBy("doc_id").agg(sum("s").as("sd")), 10)),
     "ft_span_near" -> ((s, d) => spanNearQuery(s, d, "scan", "group", 3)),
     // --- MultiTermQuery rewrites: prefix / wildcard / fuzzy / range --------
     "ft_q_prefix" -> ((s, d) =>
@@ -530,6 +539,41 @@ object Gate {
                 else Double.NaN)
       }
       .filter(!_._2.isNaN)
+      .toDF("doc_id", "sd")
+    rank(scored, k)
+  }
+
+  /** MultiPhraseQuery (slot of alternatives followed by a fixed term) from
+    * the positions index
+    * (/root/reference/src/Lucene.Net/Search/MultiPhraseQuery.cs): pf counts
+    * alignments where ANY alternative sits at p and `t2` at p+1; weight =
+    * summed idf over all participating terms.
+    */
+  def multiPhraseQuery(spark: SparkSession, sfDir: String, alts: Seq[String],
+                       t2: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = indexDir(spark, sfDir)
+    val st = stats(spark, idx)
+    val n = st.max_doc
+    val avgdl = st.sum_ttf.toDouble / n
+    val dict = termdict(spark, idx)
+      .filter(col("term").isin((alts :+ t2).distinct: _*)).as[TermDictRow].collect()
+      .map(r => r.term -> r.df).toMap
+    val presentAlts = alts.filter(dict.contains)
+    if (presentAlts.isEmpty || !dict.contains(t2))
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "score_q")
+    val isum2 = (presentAlts :+ t2)
+      .map(t => math.log(1.0 + (n - dict(t) + 0.5) / (dict(t) + 0.5))).sum * 2.2
+    val ph = posHits(spark, sfDir, presentAlts :+ t2)
+    val slot0 = ph.filter(col("term").isin(presentAlts: _*))
+      .select(col("doc_id"), col("nb"), explode(col("pos")).as("p"))
+    val slot1 = ph.filter(col("term") === t2)
+      .select(col("doc_id"), explode(col("pos")).as("p2"))
+    val pf = slot0.join(slot1,
+        slot0("doc_id") === slot1("doc_id") && col("p2") === col("p") + 1)
+      .groupBy(slot0("doc_id")).agg(count(lit(1)).as("pf"), min("nb").as("nb"))
+    val scored = pf.as[(Long, Long, Int)]
+      .map { case (docId, pfv, nb) => (docId, hitScore(pfv.toInt, nb, isum2, avgdl)) }
       .toDF("doc_id", "sd")
     rank(scored, k)
   }

@@ -134,6 +134,27 @@ object GateOracle {
          |  ${qz(s"isum.v * 2.2 * ph.pf / (ph.pf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl))")} AS score_q
          |FROM ph JOIN nrm r USING (doc_id) CROSS JOIN isum CROSS JOIN st
          |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_multi_phrase" ->
+      s"""$prelude, m AS (
+         |  SELECT a.doc_id, count(*) AS pf
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE a.t IN ('fast', 'slow') AND b.t = 'table'
+         |  GROUP BY a.doc_id
+         |), isum AS (
+         |  SELECT (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'fast')
+         |       + (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'slow')
+         |       + (SELECT ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) FROM dfs, st WHERE term = 'table') AS v
+         |)
+         |SELECT m.doc_id,
+         |  ${qz(s"isum.v * 2.2 * m.pf / (m.pf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl))")} AS score_q
+         |FROM m JOIN nrm r USING (doc_id) CROSS JOIN isum CROSS JOIN st
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_drill_down" ->
+      s"""$prelude
+         |SELECT sc.doc_id, ${qz("sum(sc.s)")} AS score_q
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |WHERE sc.term = 'data' AND d.lang = 'en' AND d.source = 'src3'
+         |GROUP BY sc.doc_id ORDER BY score_q DESC, sc.doc_id LIMIT 10""".stripMargin,
     "ft_span_near" ->
       s"""$prelude
          |SELECT a.doc_id, count(*) AS matches

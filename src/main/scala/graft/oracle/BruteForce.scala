@@ -43,7 +43,8 @@ final class BruteForce(docs: Seq[(Long, String)],
           b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
         b.minShouldMatch, k)
-    case p: Query.Phrase => runPhrase(p, k)
+    case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
+    case mp: Query.MultiPhrase => runPositional(mp.slots, 0, mp.boost, k)
     case bq: Query.BoolQ => runClauses(rewrite(bq.clauses), bq.minShouldMatch, k)
     case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
   }
@@ -83,23 +84,29 @@ final class BruteForce(docs: Seq[(Long, String)],
     }
   }
 
-  /** Exact/sloppy phrase oracle (same semantics contract as
-    * [[graft.query.Query.Phrase]]): freq from the per-doc position lists,
-    * weight = summed idf, scored with the shared Bm25 kernel.
+  /** Exact/sloppy phrase + multi-phrase oracle (same semantics contract as
+    * [[graft.query.Query.Phrase]] / [[graft.query.Query.MultiPhrase]]): freq
+    * from the per-doc position lists (a slot = sorted-distinct union of its
+    * alternatives), weight = summed idf in canonical slot/term_id order,
+    * scored with the shared Bm25 kernel.
     */
-  private def runPhrase(p: Query.Phrase, k: Int): Seq[(Long, Float)] = {
-    val terms = p.terms
-    if (terms.exists(t => !df.contains(t))) return Nil
+  private def runPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
+                            k: Int): Seq[(Long, Float)] = {
+    val slotTerms: Seq[Seq[String]] =
+      slots.map(_.filter(df.contains).distinct.sortBy(termIds))
+    if (slotTerms.exists(_.isEmpty)) return Nil
     var idfSum = 0.0f
-    terms.foreach(t => idfSum += Bm25.idf(df(t), maxDoc))
-    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    slotTerms.foreach(_.foreach(t => idfSum += Bm25.idf(df(t), maxDoc)))
+    val weightValue = Bm25.weightValue(idfSum, boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(sumTtf, maxDoc))
     val out = positions.flatMap { case (id, tp, len) =>
-      if (terms.exists(t => !tp.contains(t))) None
+      val cp: Seq[Array[Int]] = slotTerms.map { ts =>
+        ts.flatMap(t => tp.getOrElse(t, Nil)).distinct.sorted.toArray
+      }
+      if (cp.exists(_.isEmpty)) None
       else {
-        val cp: Seq[Array[Int]] = terms.map(t => tp(t).toArray)
         var pf = 0.0f
-        if (p.slop == 0) {
+        if (slop == 0) {
           var c = 0
           cp.head.foreach { p0 =>
             if (cp.indices.drop(1).forall(i =>
@@ -113,7 +120,7 @@ final class BruteForce(docs: Seq[(Long, String)],
               val d = math.abs(p2 - p1 - 1)
               if (d < best) best = d
             }
-            if (best <= p.slop) pf += 1.0f / (best + 1)
+            if (best <= slop) pf += 1.0f / (best + 1)
           }
         }
         if (pf > 0.0f)

@@ -51,6 +51,16 @@ object Query {
   final case class Phrase(terms: Seq[String], slop: Int = 0,
                           boost: Float = 1.0f) extends Query
 
+  /** MultiPhraseQuery: an exact phrase where each position slot accepts any
+    * of several terms (/root/reference/src/Lucene.Net/Search/MultiPhraseQuery.cs).
+    * Scored like Phrase with the weight = summed idf over every alternative
+    * present in the dictionary (slot order, then ascending term_id within a
+    * slot — the documented canonical float order); a slot with no surviving
+    * alternative matches nothing.
+    */
+  final case class MultiPhrase(slots: Seq[Seq[String]],
+                               boost: Float = 1.0f) extends Query
+
   /** PrefixQuery (/root/reference/src/Lucene.Net/Search/PrefixQuery.cs). */
   final case class Prefix(prefix: String, boost: Float = 1.0f) extends Query
 

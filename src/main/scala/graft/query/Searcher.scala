@@ -78,7 +78,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
           b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
         b.minShouldMatch, k)
-    case p: Query.Phrase => searchPhrase(p, k)
+    case p: Query.Phrase => searchPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
+    case mp: Query.MultiPhrase => searchPositional(mp.slots, 0, mp.boost, k)
     case bq: Query.BoolQ => searchClauses(rewriteClauses(bq.clauses), bq.minShouldMatch, k)
     case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
   }
@@ -242,29 +243,34 @@ final class Searcher(val spark: SparkSession, indexDir: String,
       }
   }
 
-  /** Native phrase search from the positions index (ExactPhraseScorer /
-    * SloppyPhraseScorer semantics, see [[Query.Phrase]]): one postings scan
-    * that reads the pos_bytes column only for the phrase's terms, a sorted
-    * per-doc fold that aligns positions, then BM25 with freq = phrase
-    * frequency and weight = summed idf (float clause order =
-    * phrase term order, /root/reference/src/Lucene.Net/Search/PhraseQuery.cs
-    * weight construction).
+  /** Native positional search from the positions index (ExactPhraseScorer /
+    * SloppyPhraseScorer / MultiPhraseQuery semantics, see [[Query.Phrase]] /
+    * [[Query.MultiPhrase]]): one postings scan that reads the pos_bytes
+    * column only for the phrase's terms, a sorted per-doc fold that aligns
+    * positions (each slot = sorted-distinct union of its alternatives'
+    * lists), then BM25 with freq = phrase frequency and weight = summed idf
+    * in canonical order (/root/reference/src/Lucene.Net/Search/PhraseQuery.cs,
+    * MultiPhraseQuery.cs weight construction).
     */
-  private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
-    val terms = p.terms
-    require(terms.size >= 2, "phrase needs at least two terms")
-    require(p.slop == 0 || terms.size == 2, "sloppy phrase supports two terms")
-    val dict = lookup(terms.distinct)
-    if (terms.exists(t => !dict.contains(t))) return emptyResult
+  private def searchPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
+                               k: Int): DataFrame = {
+    require(slots.size >= 2, "phrase needs at least two positions")
+    require(slop == 0 || (slots.size == 2 && slots.forall(_.size == 1)),
+      "sloppy phrase supports two single terms")
+    val dict = lookup(slots.flatten.distinct)
+    // alternatives absent from the dictionary drop out; an empty slot
+    // matches nothing (MultiPhraseQuery semantics)
+    val slotTids: Array[Array[Long]] =
+      slots.map(_.flatMap(dict.get).map(_.term_id).distinct.sorted.toArray).toArray
+    if (slotTids.exists(_.isEmpty)) return emptyResult
+    // weight = summed idf in canonical order: slot order, ascending term_id
+    val idByTerm = dict.map { case (_, d) => d.term_id -> d }
     var idfSum = 0.0f
-    terms.foreach(t => idfSum += Bm25.idf(dict(t).df, stats.max_doc))
-    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    slotTids.foreach(_.foreach(tid => idfSum += Bm25.idf(idByTerm(tid).df, stats.max_doc)))
+    val weightValue = Bm25.weightValue(idfSum, boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
-    // clause order = phrase order; positions of clause i must sit at p0 + i
-    val tidOfClause: Array[Long] = terms.map(t => dict(t).term_id).toArray
-    val ids = tidOfClause.distinct.toSeq
-    val slop = p.slop
-    val nClauses = tidOfClause.length
+    val ids = slotTids.flatten.distinct.toSeq
+    val nSlots = slotTids.length
 
     val posHits = postings
       .filter(col("term_id").isin(ids: _*))
@@ -275,30 +281,36 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         docs.indices.iterator.map(i => (docs(i), b.term_id, nbs(i), poss(i)))
       }
 
-    val bTid = spark.sparkContext.broadcast(tidOfClause)
+    val bSlots = spark.sparkContext.broadcast(slotTids)
     val scored = posHits.toDF("doc_id", "term_id", "nb", "pos")
       .repartition(col("doc_id"))
       .sortWithinPartitions("doc_id", "term_id")
       .as[(Long, Long, Byte, Array[Int])]
       .mapPartitions { it =>
-        val clauses = bTid.value
-        val nDistinct = clauses.distinct.length
+        val slotsT = bSlots.value
         val byTid = new scala.collection.mutable.HashMap[Long, Array[Int]]()
         var nb: Byte = 0
+        // sorted-distinct union of the slot's alternatives' position lists
+        def slotPositions(tids: Array[Long]): Array[Int] = {
+          val present = tids.flatMap(byTid.get)
+          if (present.isEmpty) Array.emptyIntArray
+          else if (present.length == 1) present(0)
+          else present.flatten.distinct.sorted
+        }
         Combine.fold[(Long, Long, Byte, Array[Int])](it, _._1,
           reset = () => { byTid.clear() },
           add = { case (_, tid, n, ps) => nb = n; byTid.update(tid, ps) },
-          finish = _ =>
-            if (byTid.size < nDistinct) Float.NaN
+          finish = _ => {
+            val cp: Array[Array[Int]] = slotsT.map(slotPositions)
+            if (cp.exists(_.isEmpty)) Float.NaN
             else {
-              val cp: Array[Array[Int]] = clauses.map(byTid)
               var pf = 0.0f
               if (slop == 0) {
                 var c = 0
                 cp(0).foreach { p0 =>
                   var ok = true
                   var i = 1
-                  while (ok && i < nClauses) {
+                  while (ok && i < nSlots) {
                     ok = java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0
                     i += 1
                   }
@@ -318,7 +330,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
                 }
               }
               if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
-            })
+            }
+          })
       }
 
     live(scored.toDF("doc_id", "score"))

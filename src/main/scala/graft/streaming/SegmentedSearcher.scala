@@ -51,9 +51,10 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     val (b, boost) = q match {
       case Query.Term(t, bst) => (Query.Bool(should = Seq(t)), bst)
       case bb: Query.Bool     => (bb, 1.0f)
+      case p: Query.Phrase    => return searchPhrase(p, k)
       case other =>
         throw new UnsupportedOperationException(
-          s"segmented snapshot supports Term/Bool only (compact() first for: $other)")
+          s"segmented snapshot supports Term/Bool/Phrase (compact() first for: $other)")
     }
     val must = b.must.distinct
     val should = b.should.distinct.filterNot(must.contains)
@@ -138,5 +139,95 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     liveOnly
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Phrase over a segmented snapshot: per-segment positional scans (each
+    * doc's postings live in exactly one segment) scored with GLOBAL
+    * statistics — the same cross-leaf weight resolution as the term path.
+    */
+  private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
+    import graft.codec.{PosBlock, PostingCodec}
+    require(p.slop == 0 || p.terms.size == 2, "sloppy phrase supports two terms")
+    val dict = lookup(p.terms.distinct)
+    if (p.terms.exists(t => !dict.contains(t)))
+      return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+    var idfSum = 0.0f
+    p.terms.foreach(t => idfSum += Bm25.idf(dict(t)._1, stats.max_doc))
+    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
+    val clauseIdx: Map[String, Int] = p.terms.distinct.zipWithIndex.toMap
+    val nClauses = p.terms.size
+    val slop = p.slop
+    val bTerms = spark.sparkContext.broadcast(p.terms.toArray.map(clauseIdx))
+
+    val perSegment: Seq[Dataset[(Long, Int, Byte, Array[Int])]] = parts.map { d =>
+      val tidMap: Map[Long, Int] = p.terms.distinct.flatMap { t =>
+        dict(t)._2.collect { case (`d`, tid) => tid -> clauseIdx(t) }
+      }.toMap
+      if (tidMap.isEmpty) spark.emptyDataset[(Long, Int, Byte, Array[Int])]
+      else {
+        val bm = spark.sparkContext.broadcast(tidMap)
+        spark.read.parquet(s"$d/postings")
+          .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
+          .select(PosBlock.cols.map(col): _*)
+          .as[PosBlock]
+          .flatMap { blk =>
+            val (docs, _, nbs, poss) = PostingCodec.decodePos(blk)
+            val clause = bm.value(blk.term_id)
+            docs.indices.iterator.map(i => (docs(i), clause, nbs(i), poss(i)))
+          }
+      }
+    }
+    val scored = perSegment.reduce(_ union _)
+      .toDF("doc_id", "clause", "nb", "pos")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "clause")
+      .as[(Long, Int, Byte, Array[Int])]
+      .mapPartitions { it =>
+        val slotOfClause = bTerms.value // phrase position i -> distinct-clause id
+        val byClause = new scala.collection.mutable.HashMap[Int, Array[Int]]()
+        var nb: Byte = 0
+        graft.query.Combine.fold[(Long, Int, Byte, Array[Int])](it, _._1,
+          reset = () => byClause.clear(),
+          add = { case (_, c, n, ps) => nb = n; byClause.update(c, ps) },
+          finish = _ => {
+            val cp = slotOfClause.map(c => byClause.getOrElse(c, Array.emptyIntArray))
+            if (cp.exists(_.isEmpty)) Float.NaN
+            else {
+              var pf = 0.0f
+              if (slop == 0) {
+                var cnt = 0
+                cp(0).foreach { p0 =>
+                  var ok = true
+                  var i = 1
+                  while (ok && i < nClauses) {
+                    ok = java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0
+                    i += 1
+                  }
+                  if (ok) cnt += 1
+                }
+                pf = cnt.toFloat
+              } else {
+                cp(0).foreach { p1 =>
+                  var best = Int.MaxValue
+                  cp(1).foreach { p2 =>
+                    val d = math.abs(p2 - p1 - 1)
+                    if (d < best) best = d
+                  }
+                  if (best <= slop) pf += 1.0f / (best + 1)
+                }
+              }
+              if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
+            }
+          })
+      }
+    val liveOnly =
+      if (snap.tombs.isEmpty) scored.toDF("doc_id", "score")
+      else {
+        val dead = snap.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
+          .select("doc_id").distinct()
+        scored.toDF("doc_id", "score").join(dead, Seq("doc_id"), "left_anti")
+      }
+    liveOnly.orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 }

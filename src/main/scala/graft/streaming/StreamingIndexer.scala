@@ -25,13 +25,12 @@ object StreamingIndexer {
     */
   final val CompactAt = 10
 
-  /** Append one batch of turns as a new segment and commit a snapshot. */
-  def appendSegment(batch: Dataset[Turn], indexDir: String,
-                    autoCompact: Boolean = true): Unit = {
-    if (batch.isEmpty) return
+  /** Build a new segment's tables (no snapshot commit). Returns
+    * (segDir, new high-water maxDoc).
+    */
+  private def buildSegment(batch: Dataset[Turn], indexDir: String,
+                           snap: Option[SnapshotLog#Snapshot]): (String, Long) = {
     val spark = batch.sparkSession
-    val log = new SnapshotLog(indexDir, spark)
-    val snap = log.latest()
     val base = snap.map(_.maxDoc).getOrElse(0L)
     val segId = snap.map(_.id + 1).getOrElse(0L)
     val segDir = s"$indexDir/seg-$segId"
@@ -47,9 +46,56 @@ object StreamingIndexer {
     IndexBuilder.build(withIds.select("doc_id", "text"), segDir,
       IndexBuilder.Options(numPartitions = p))
     withIds.unpersist(blocking = false)
+    (segDir, maxDoc)
+  }
+
+  /** Append one batch of turns as a new segment and commit a snapshot. */
+  def appendSegment(batch: Dataset[Turn], indexDir: String,
+                    autoCompact: Boolean = true): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest()
+    val (segDir, maxDoc) = buildSegment(batch, indexDir, snap)
     val newSegs = snap.map(_.segments).getOrElse(Nil) :+ segDir
     log.commit(maxDoc, snap.flatMap(_.base), newSegs, snap.map(_.tombs).getOrElse(Nil))
     if (autoCompact && newSegs.size >= CompactAt) compact(spark, indexDir)
+  }
+
+  /** Atomic update: delete every doc matching `term`, add the replacement
+    * batch, publish BOTH in ONE snapshot commit — readers never observe the
+    * delete without the add (IndexWriter.UpdateDocuments semantics,
+    * /root/reference/src/Lucene.Net/Index/IndexWriter.cs:1751).
+    */
+  def updateDocuments(batch: Dataset[Turn], indexDir: String, term: String): Unit = {
+    import batch.sparkSession.implicits._
+    val spark = batch.sparkSession
+    if (batch.isEmpty) { deleteByTerm(spark, indexDir, term); return }
+    val log = new SnapshotLog(indexDir, spark)
+    val snap = log.latest().getOrElse {
+      appendSegment(batch, indexDir); return
+    }
+    val parts = snap.base.toSeq ++ snap.segments
+    val dead: Seq[org.apache.spark.sql.DataFrame] = parts.flatMap { d =>
+      val tid = spark.read.parquet(s"$d/termdict")
+        .filter(col("term") === term).select("term_id").as[Long].collect()
+      if (tid.isEmpty) None
+      else Some(spark.read.parquet(s"$d/postings")
+        .filter(col("term_id") === tid.head)
+        .select(graft.codec.ScoreBlock.cols.map(col): _*)
+        .as[graft.codec.ScoreBlock]
+        .flatMap(b => graft.codec.PostingCodec.decode(b)._1.iterator)
+        .toDF("doc_id"))
+    }
+    val tombs =
+      if (dead.isEmpty) snap.tombs
+      else {
+        val tombDir = s"$indexDir/tomb-${snap.id + 1}"
+        dead.reduce(_ unionByName _).write.mode("overwrite").parquet(tombDir)
+        snap.tombs :+ tombDir
+      }
+    val (segDir, maxDoc) = buildSegment(batch, indexDir, Some(snap))
+    log.commit(maxDoc, snap.base, snap.segments :+ segDir, tombs)
   }
 
   /** Buffer deletions: dead doc_ids become a tombstone table referenced by

@@ -74,4 +74,25 @@ class DeleteSpec extends AnyFunSuite {
     // maxDoc high-water mark is preserved so future appends never reuse ids
     assert(snap2.maxDoc == all.size)
   }
+
+  test("updateDocuments: delete + add publish in one atomic snapshot") {
+    val dir = Files.createTempDirectory("graft_upd").toString
+    val all = Transcripts.local(40)
+    StreamingIndexer.appendSegment(spark.createDataset(all), dir, autoCompact = false)
+    val snapBefore = new SnapshotLog(dir, spark).latest().get
+    // replacement turns: a fresh conv whose text reuses a queryable marker
+    val repl = all.take(2).zipWithIndex.map { case (t, i) =>
+      t.copy(conv_id = "zzreplacement", turn_idx = i,
+        text = "replacement doc about person time")
+    }
+    StreamingIndexer.updateDocuments(spark.createDataset(repl), dir, "person")
+    val snapAfter = new SnapshotLog(dir, spark).latest().get
+    // exactly ONE snapshot advanced: delete + add are atomic
+    assert(snapAfter.id == snapBefore.id + 1)
+    assert(snapAfter.tombs.nonEmpty && snapAfter.segments.size == snapBefore.segments.size + 1)
+    val seg = new SegmentedSearcher(spark, dir)
+    val personDocs = seg.search(Query.Term("person"), 1000).collect().map(_.getLong(0)).toSet
+    // only the replacement docs (ids at the old high-water mark) match now
+    assert(personDocs.nonEmpty && personDocs.forall(_ >= snapBefore.maxDoc))
+  }
 }

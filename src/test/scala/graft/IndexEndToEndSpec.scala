@@ -116,6 +116,15 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.Phrase(Seq("time", "person"), boost = 2.0f))
   }
 
+  test("multi-phrase: per-slot term alternatives") {
+    check(Query.MultiPhrase(Seq(Seq("time", "spark"), Seq("person"))))
+    check(Query.MultiPhrase(Seq(Seq("time"), Seq("person", "year", "way"))))
+    check(Query.MultiPhrase(Seq(Seq("time", "zzznothere"), Seq("person"))))
+    // a slot with no surviving alternative matches nothing
+    check(Query.MultiPhrase(Seq(Seq("zzznothere"), Seq("person"))))
+    check(Query.MultiPhrase(Seq(Seq("time", "spark"), Seq("person"), Seq("year", "day"))))
+  }
+
   test("k larger than hit count and k=1") {
     check(Query.Term("w001234"), k = 10000)
     check(Query.Bool(should = Seq("time", "person")), k = 1)

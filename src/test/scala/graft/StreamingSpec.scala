@@ -40,7 +40,10 @@ class StreamingSpec extends AnyFunSuite {
     Query.Term("time"), Query.Term("w001234"),
     Query.Bool(should = Seq("time", "person")),
     Query.Bool(must = Seq("spark", "query")),
-    Query.Bool(should = Seq("time"), mustNot = Seq("person")))
+    Query.Bool(should = Seq("time"), mustNot = Seq("person")),
+    // phrase over segments: per-segment positional scans + global stats
+    Query.Phrase(Seq("time", "person")),
+    Query.Phrase(Seq("time", "person"), slop = 2))
 
   test("three appended segments search identically to the batch build") {
     val seg = new SegmentedSearcher(spark, dirs._1)
