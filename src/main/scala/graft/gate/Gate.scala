@@ -265,6 +265,24 @@ object Gate {
           .select("doc_id"), "doc_id")
         .groupBy("doc_id").agg(sum("s").as("sd")), 10)),
     "ft_span_near" -> ((s, d) => spanNearQuery(s, d, "scan", "group", 3)),
+    "ft_span_first" -> ((s, d) => {
+      // SpanFirstQuery: term occurrences within the first 5 positions
+      import graft.query.Spans
+      Spans.spans(s, indexDir(s, d), Spans.SpanFirst(Spans.SpanTerm("vector"), 5))
+        .select(col("doc_id"), (col("start") + 1).cast("long").as("p"))
+        .orderBy("doc_id", "p")
+    }),
+    "ft_span_or_near" -> ((s, d) => {
+      // SpanNear(SpanOr(fast, slow), table, slop=1, ordered): composed span
+      // algebra evaluated from the positions index
+      import graft.query.Spans
+      Spans.spans(s, indexDir(s, d),
+          Spans.SpanNear(Spans.SpanOr(Seq(Spans.SpanTerm("fast"), Spans.SpanTerm("slow"))),
+            Spans.SpanTerm("table"), slop = 1, inOrder = true))
+        .select(col("doc_id"), (col("start") + 1).cast("long").as("start_pos"),
+          col("end").cast("long").as("end_pos"))
+        .orderBy("doc_id", "start_pos", "end_pos")
+    }),
     // --- MultiTermQuery rewrites: prefix / wildcard / fuzzy / range --------
     "ft_q_prefix" -> ((s, d) =>
       topkSum(s, d, expand(s, d, col("term").like("s%")), 10)),
@@ -411,6 +429,7 @@ object Gate {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),
+    "ann_ivf" -> ((s, d) => annIvf(s, d, 5)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
     "multimodal_meta" -> ((s, d) => {
       // Multimodal-column plumbing over an opaque binary column (the text
@@ -906,6 +925,66 @@ object Gate {
     val nq = math.sqrt(bq.value.map(x => x * x).sum)
     withBuckets.filter(r => probeSet.contains(r._3) && r._1 != qid)
       .map { case (id, e, _) =>
+        var dot = 0.0; var ne = 0.0; var j = 0
+        while (j < e.length) {
+          val x = e(j).toDouble
+          dot += x * bq.value(j)
+          ne += x * x
+          j += 1
+        }
+        (id, dot / (math.sqrt(ne) * nq))
+      }
+      .toDF("vec_id", "cos")
+      .select(col("vec_id"), q(col("cos")).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF approximate nearest neighbours: a deterministic coarse quantizer
+    * (centroids = the vectors of ids 1..nlist — the "trained on a sample"
+    * stand-in; a production build k-means-trains them, the plumbing is
+    * identical), every vector assigned to its L2-nearest list, the query
+    * probing the nprobe nearest lists, exact cosine re-rank inside them.
+    * At scale the assignment is a write-time partition column, so a probe
+    * reads nprobe/nlist of the table.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int,
+             nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids: Array[(Long, Array[Double])] = emb
+      .filter(r => r._1 >= 1 && r._1 <= nlist)
+      .collect().sortBy(_._1)
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+    val bc = spark.sparkContext.broadcast(centroids)
+    // L2^2 to each centroid, ascending-index sum (matches the SQL list_sum)
+    def d2(e: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < e.length) {
+        val x = e(i).toDouble - c(i)
+        acc += x * x
+        i += 1
+      }
+      acc
+    }
+    def nearest(e: Array[Float]): Long =
+      bc.value.map { case (cid, cv) => (d2(e, cv), cid) }.min._2
+    val qv: Array[Double] = emb.filter(_._1 == 0L).head()._2.map(_.toDouble)
+    val probes: Set[Long] = centroids
+      .map { case (cid, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { val x = qv(i) - cv(i); acc += x * x; i += 1 }
+        (acc, cid)
+      }
+      .sorted.take(nprobe).map(_._2).toSet
+    val bq = spark.sparkContext.broadcast(qv)
+    val nq = math.sqrt(qv.map(x => x * x).sum)
+    emb.filter(r => r._1 != 0L && probes.contains(nearest(r._2)))
+      .map { case (id, e) =>
         var dot = 0.0; var ne = 0.0; var j = 0
         while (j < e.length) {
           val x = e(j).toDouble

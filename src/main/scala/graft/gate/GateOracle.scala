@@ -161,6 +161,16 @@ object GateOracle {
          |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 1 AND 3
          |WHERE a.t = 'scan' AND b.t = 'group'
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_span_first" ->
+      s"""$prelude
+         |SELECT doc_id, CAST(p AS BIGINT) AS p FROM pos
+         |WHERE t = 'vector' AND p <= 5 ORDER BY doc_id, p""".stripMargin,
+    "ft_span_or_near" ->
+      s"""$prelude
+         |SELECT a.doc_id, CAST(a.p AS BIGINT) AS start_pos, CAST(b.p AS BIGINT) AS end_pos
+         |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 1 AND 2
+         |WHERE a.t IN ('fast', 'slow') AND b.t = 'table'
+         |ORDER BY a.doc_id, start_pos, end_pos""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_wildcard" -> topk("term LIKE 'w_ndow'"),
     "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),
@@ -470,6 +480,37 @@ object GateOracle {
          |JOIN raws r USING (doc_id)
          |LEFT JOIN dts dt USING (doc_id)
          |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id BETWEEN 1 AND 8
+         |), dist AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, len(e.ev) + 1),
+         |      i -> (e.ev[i] - c.cv[i]) * (e.ev[i] - c.cv[i]))) AS d2
+         |  FROM e CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist) WHERE rn = 1
+         |), probes AS (
+         |  SELECT cid FROM dist WHERE vec_id = 0 ORDER BY d2, cid LIMIT 3
+         |), q AS (
+         |  SELECT ev AS qv FROM e WHERE vec_id = 0
+         |), cand AS (
+         |  SELECT e.vec_id, e.ev FROM e JOIN assign USING (vec_id)
+         |  WHERE assign.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+         |), d AS (
+         |  SELECT c.vec_id,
+         |    list_sum(list_transform(range(1, len(c.ev) + 1), i -> c.ev[i] * q.qv[i])) AS dot,
+         |    sqrt(list_sum(list_transform(c.ev, x -> x * x))) AS ne,
+         |    sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
+         |  FROM cand c CROSS JOIN q
+         |)
+         |SELECT vec_id, ${qz("dot / (ne * nq)")} AS cos_q
+         |FROM d ORDER BY cos_q DESC, vec_id LIMIT 5""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

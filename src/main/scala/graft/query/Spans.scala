@@ -1,0 +1,107 @@
+package graft.query
+
+import graft.codec.{PosBlock, PostingCodec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional span algebra over the positions index — the Spans family
+  * (/root/reference/src/Lucene.Net/Search/Spans/: SpanTermQuery,
+  * SpanNearQuery ordered/unordered, SpanOrQuery, SpanNotQuery,
+  * SpanFirstQuery; ordered matching semantics NearSpansOrdered.cs).
+  *
+  * A span is (start, end) with end exclusive, in token-position space
+  * (stopword holes consume positions). SpanNear is binary (compose nested
+  * nears for k-ary phrases) and enumerates minimal pairings — the common
+  * production shape; the reference's k-ary window algorithm is a documented
+  * deferral.
+  */
+object Spans {
+
+  sealed trait SpanQuery {
+    /** Leaf terms of the tree (for the postings scan). */
+    def terms: Set[String] = this match {
+      case SpanTerm(t)        => Set(t)
+      case SpanNear(a, b, _, _) => a.terms ++ b.terms
+      case SpanOr(cs)         => cs.flatMap(_.terms).toSet
+      case SpanNot(i, e)      => i.terms ++ e.terms
+      case SpanFirst(q, _)    => q.terms
+    }
+  }
+  final case class SpanTerm(term: String) extends SpanQuery
+  final case class SpanNear(left: SpanQuery, right: SpanQuery, slop: Int,
+                            inOrder: Boolean) extends SpanQuery
+  final case class SpanOr(clauses: Seq[SpanQuery]) extends SpanQuery
+  final case class SpanNot(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
+  final case class SpanFirst(query: SpanQuery, end: Int) extends SpanQuery
+
+  /** Evaluate a span tree against one document's term -> sorted positions. */
+  def eval(q: SpanQuery, tp: collection.Map[String, Array[Int]]): Seq[(Int, Int)] = q match {
+    case SpanTerm(t) =>
+      tp.get(t).map(_.toSeq.map(p => (p, p + 1))).getOrElse(Nil)
+    case SpanOr(cs) =>
+      cs.flatMap(eval(_, tp)).distinct.sorted
+    case SpanNear(l, r, slop, inOrder) =>
+      val ls = eval(l, tp)
+      val rs = eval(r, tp)
+      val out = for {
+        a <- ls
+        b <- rs
+        if a != b
+        ok = if (inOrder) b._1 >= a._2 && b._1 - a._2 <= slop
+             else (b._1 >= a._2 && b._1 - a._2 <= slop) ||
+                  (a._1 >= b._2 && a._1 - b._2 <= slop)
+        if ok
+      } yield (math.min(a._1, b._1), math.max(a._2, b._2))
+      out.distinct.sorted
+    case SpanNot(inc, exc) =>
+      val bad = eval(exc, tp)
+      eval(inc, tp).filter(s => !bad.exists(b => s._1 < b._2 && b._1 < s._2))
+    case SpanFirst(sub, end) =>
+      eval(sub, tp).filter(_._2 <= end)
+  }
+
+  /** Distributed evaluation: (doc_id, start, end) rows for every matching
+    * span — the positions read path shared with phrase queries.
+    */
+  def spans(spark: SparkSession, indexDir: String, q: SpanQuery): DataFrame = {
+    import spark.implicits._
+    val searcher = new Searcher(spark, indexDir)
+    val dict = searcher.lookup(q.terms.toSeq)
+    if (dict.isEmpty)
+      return spark.emptyDataset[(Long, Int, Int)].toDF("doc_id", "start", "end")
+    val names: Map[Long, String] = dict.map { case (t, d) => d.term_id -> t }
+    val bn = spark.sparkContext.broadcast(names)
+    val bq = spark.sparkContext.broadcast(q)
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term_id").isin(names.keySet.toSeq: _*))
+      .select(PosBlock.cols.map(col): _*)
+      .as[PosBlock]
+      .flatMap { b =>
+        val (docs, _, _, poss) = PostingCodec.decodePos(b)
+        val t = bn.value(b.term_id)
+        docs.indices.iterator.map(i => (docs(i), t, poss(i)))
+      }
+      .toDF("doc_id", "term", "pos")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term")
+      .as[(Long, String, Array[Int])]
+      .mapPartitions { it =>
+        val tp = new scala.collection.mutable.HashMap[String, Array[Int]]()
+        val b = it.buffered
+        new scala.collection.AbstractIterator[Seq[(Long, Int, Int)]] {
+          override def hasNext: Boolean = b.hasNext
+          override def next(): Seq[(Long, Int, Int)] = {
+            val doc = b.head._1
+            tp.clear()
+            while (b.hasNext && b.head._1 == doc) {
+              val (_, t, ps) = b.next()
+              tp.update(t, ps)
+            }
+            eval(bq.value, tp).map { case (s, e) => (doc, s, e) }
+          }
+        }.flatten
+      }
+      .toDF("doc_id", "start", "end")
+      .orderBy("doc_id", "start", "end")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.query.Spans
+import graft.query.Spans._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Span algebra semantics over per-doc position maps (reference behavior:
+  * /root/reference/src/Lucene.Net/Search/Spans/, NearSpansOrdered.cs).
+  */
+class SpansSpec extends AnyFunSuite {
+
+  // "a b c a d" with stopword hole at 2? Use plain positions:
+  private val tp = Map(
+    "a" -> Array(0, 3),
+    "b" -> Array(1),
+    "c" -> Array(2),
+    "d" -> Array(4))
+
+  test("span term and or") {
+    assert(eval(SpanTerm("a"), tp) == Seq((0, 1), (3, 4)))
+    assert(eval(SpanTerm("zz"), tp) == Nil)
+    assert(eval(SpanOr(Seq(SpanTerm("a"), SpanTerm("b"))), tp) ==
+      Seq((0, 1), (1, 2), (3, 4)))
+  }
+
+  test("ordered near with slop") {
+    // a..b adjacent
+    assert(eval(SpanNear(SpanTerm("a"), SpanTerm("b"), 0, inOrder = true), tp) ==
+      Seq((0, 2)))
+    // b..a with a gap of 1 ('c' between): needs slop >= 1
+    assert(eval(SpanNear(SpanTerm("b"), SpanTerm("a"), 0, inOrder = true), tp) == Nil)
+    assert(eval(SpanNear(SpanTerm("b"), SpanTerm("a"), 1, inOrder = true), tp) ==
+      Seq((1, 4)))
+    // reversed order never matches when inOrder
+    assert(eval(SpanNear(SpanTerm("d"), SpanTerm("a"), 5, inOrder = true), tp) == Nil)
+  }
+
+  test("unordered near matches either direction") {
+    assert(eval(SpanNear(SpanTerm("d"), SpanTerm("a"), 0, inOrder = false), tp) ==
+      Seq((3, 5)))
+    assert(eval(SpanNear(SpanTerm("c"), SpanTerm("b"), 0, inOrder = false), tp) ==
+      Seq((1, 3)))
+  }
+
+  test("span not removes overlapping matches") {
+    val near = SpanNear(SpanTerm("a"), SpanTerm("b"), 0, inOrder = true) // (0,2)
+    assert(eval(SpanNot(near, SpanTerm("b")), tp) == Nil)      // b overlaps
+    assert(eval(SpanNot(near, SpanTerm("d")), tp) == Seq((0, 2)))
+    assert(eval(SpanNot(SpanTerm("a"), SpanTerm("a")), tp) == Nil)
+  }
+
+  test("span first bounds the end position") {
+    assert(eval(SpanFirst(SpanTerm("a"), 1), tp) == Seq((0, 1)))
+    assert(eval(SpanFirst(SpanTerm("a"), 4), tp) == Seq((0, 1), (3, 4)))
+  }
+
+  test("nested composition: near over or") {
+    val q = SpanNear(SpanOr(Seq(SpanTerm("a"), SpanTerm("c"))), SpanTerm("d"), 1,
+      inOrder = true)
+    // a@3 -> d@4 adjacent (gap 0); c@2 -> d@4 gap 1
+    assert(eval(q, tp) == Seq((2, 5), (3, 5)))
+  }
+
+  test("distributed spans over a real index match the local evaluator") {
+    import graft.build.IndexBuilder
+    import graft.fixtures.Transcripts
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 60), dir)
+    val q = SpanNear(SpanTerm("time"), SpanTerm("person"), 2, inOrder = true)
+    val got = Spans.spans(spark, dir, q).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // local oracle over the same analyzed docs
+    val turns = Transcripts.local(60).sortBy(t => (t.conv_id, t.turn_idx))
+    val want = turns.zipWithIndex.flatMap { case (t, i) =>
+      val tp = graft.analysis.Analyzer.termPositions(t.text)._1
+        .map { case (k, v) => k -> v.toArray }
+      eval(q, tp).map { case (s, e) => (i.toLong, s, e) }
+    }.sortBy(identity)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
