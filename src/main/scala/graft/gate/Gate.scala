@@ -431,6 +431,18 @@ object Gate {
     "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
+    "ft_analyze_expr" -> ((s, d) => {
+      // the codegen'd Catalyst analyzer expression (graft.functions
+      // .AnalyzeTerms), registered via the SparkSessionExtensions hook /
+      // runtime registry — tokenization as a native SQL function
+      graft.functions.GraftFunctions.register(s)
+      val terms = expr("graft_terms(text)")
+      docsTable(s, d)
+        .select(col("doc_id"), size(terms).cast("long").as("n_terms"),
+          when(size(terms) > 0, element_at(terms, 1)).as("first_term"))
+        .orderBy("doc_id")
+        .limit(100)
+    }),
     "multimodal_meta" -> ((s, d) => {
       // Multimodal-column plumbing over an opaque binary column (the text
       // bytes stand in for undecodable media; engine-side typed extraction

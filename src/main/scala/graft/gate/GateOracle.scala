@@ -511,6 +511,17 @@ object GateOracle {
          |)
          |SELECT vec_id, ${qz("dot / (ne * nq)")} AS cos_q
          |FROM d ORDER BY cos_q DESC, vec_id LIMIT 5""".stripMargin,
+    "ft_analyze_expr" ->
+      s"""$prelude, firsts AS (
+         |  SELECT doc_id, arg_min(t, p) AS first_term
+         |  FROM pos WHERE t <> '' AND length(t) <= 255 AND t NOT IN ($stop)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, l.len AS n_terms, f.first_term
+         |FROM documents d
+         |JOIN lens l USING (doc_id)
+         |LEFT JOIN firsts f USING (doc_id)
+         |ORDER BY d.doc_id LIMIT 100""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
