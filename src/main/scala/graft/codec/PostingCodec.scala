@@ -59,6 +59,17 @@ object ScoreBlock {
     "tf_bytes", "norm_bytes", "max_tf", "max_nb")
 }
 
+/** Doc-ids-only projection — the cheapest scan (conjunction pre-filters). */
+final case class DocsBlock(
+    term_id: Long,
+    first_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte])
+
+object DocsBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "cnt", "doc_bytes")
+}
+
 /** Positions-path projection: postings plus the positions payload. */
 final case class PosBlock(
     term_id: Long,
@@ -187,6 +198,20 @@ object PostingCodec {
   def decode(b: ScoreBlock): (Array[Long], Array[Int], Array[Byte]) = {
     val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
     (docs, tfs, b.norm_bytes)
+  }
+
+  /** Decode only the doc ids of a block. */
+  def decodeDocs(b: DocsBlock): Array[Long] = {
+    val gaps = ForCodec.unpack(b.doc_bytes)
+    val docs = new Array[Long](b.cnt)
+    var i = 0
+    var doc = b.first_doc
+    while (i < b.cnt) {
+      if (i > 0) doc += gaps(i - 1)
+      docs(i) = doc
+      i += 1
+    }
+    docs
   }
 
   /** Decode a positions-projection block: (docIds, tfs, norms, positions). */

@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   *   tie-break (score desc, then smaller docID;
   *   /root/reference/src/Lucene.Net/Search/HitQueue.cs:88-105).
   */
+object Searcher {
+  /** Postings volume above which the conjunction-first phrase pre-filter
+    * pays for its extra stages (see searchPositional). Measured on this
+    * class of corpus: below ~10^6 postings the two added stage barriers cost
+    * more than the positions-shuffle bytes they save (A/B at 4M turns:
+    * 1.29 s vs 2.27 s p50 WITH the filter); the byte saving scales linearly
+    * with df while the stage cost is constant, so the filter wins at
+    * cluster scale. `graft.phrase.prefilter` forces it either way.
+    */
+  private[query] val PhrasePrefilterMinPostings = 5_000_000L
+
+  private[query] def phrasePrefilter(totalDf: Long): Boolean =
+    sys.props.get("graft.phrase.prefilter").map(_.toBoolean)
+      .getOrElse(totalDf > PhrasePrefilterMinPostings)
+}
+
 final class Searcher(val spark: SparkSession, indexDir: String,
                      similarity: graft.score.Similarity = graft.score.Bm25Similarity)
     extends Serializable {
@@ -272,7 +288,34 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     val ids = slotTids.flatten.distinct.toSeq
     val nSlots = slotTids.length
 
-    val posHits = postings
+    // Conjunction-first candidate filter (ExactPhraseScorer advances the
+    // conjunction before checking positions, ExactPhraseScorer.cs:237): a
+    // slim doc-ids-only scan finds docs covering EVERY slot, so the
+    // positions payload is shuffled only for them. AQE broadcasts the
+    // candidate set when it is small (the common phrase case).
+    val slotOfTid: Map[Long, Seq[Int]] =
+      slotTids.zipWithIndex.flatMap { case (ts, i) => ts.map(t => (t, i)) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    def candidates: DataFrame = {
+      import graft.codec.DocsBlock
+      val bSlotOf = spark.sparkContext.broadcast(slotOfTid)
+      postings
+        .filter(col("term_id").isin(ids: _*))
+        .select(DocsBlock.cols.map(col): _*)
+        .as[DocsBlock]
+        .flatMap { b =>
+          val docs = PostingCodec.decodeDocs(b)
+          val slots = bSlotOf.value(b.term_id)
+          docs.iterator.flatMap(d => slots.iterator.map(s => (d, s)))
+        }
+        .toDF("doc_id", "slot")
+        .groupBy("doc_id")
+        .agg(countDistinct("slot").as("ns"))
+        .filter(col("ns") === nSlots)
+        .select("doc_id")
+    }
+
+    val posRows = postings
       .filter(col("term_id").isin(ids: _*))
       .select(PosBlock.cols.map(col): _*)
       .as[PosBlock]
@@ -280,6 +323,13 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         val (docs, _, nbs, poss) = PostingCodec.decodePos(b)
         docs.indices.iterator.map(i => (docs(i), b.term_id, nbs(i), poss(i)))
       }
+      .toDF("doc_id", "term_id", "nb", "pos")
+    val totalDf = slotTids.flatten.map(tid => idByTerm(tid).df).sum
+    val posHits =
+      (if (Searcher.phrasePrefilter(totalDf))
+        posRows.join(candidates, Seq("doc_id"), "left_semi")
+       else posRows)
+        .as[(Long, Long, Byte, Array[Int])]
 
     val bSlots = spark.sparkContext.broadcast(slotTids)
     val scored = posHits.toDF("doc_id", "term_id", "nb", "pos")
