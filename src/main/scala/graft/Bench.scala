@@ -73,7 +73,8 @@ object Bench {
     // (as on a real cluster: segments sized by docs, executors consume tasks).
     val segP = 64
     var buildSeq = 0
-    def buildAt(master: String, shuffle: Int, convs: Long): Double = {
+    def buildAt(master: String, shuffle: Int, convs: Long,
+                positions: Boolean): Double = {
       buildSeq += 1
       val s = session(master, shuffle)
       import s.implicits._
@@ -81,23 +82,37 @@ object Bench {
                 else Transcripts.dataset(s, convs)
       val (_, t) = timed {
         IndexBuilder.buildFromTurns(src, s"$benchDir/index-$buildSeq",
-          IndexBuilder.Options(numPartitions = shuffle, segmentPartitions = segP))
+          IndexBuilder.Options(numPartitions = shuffle, segmentPartitions = segP,
+            positions = positions))
       }
       s.stop()
       t
     }
     // JIT warmup: small untimed build compiles the pipeline for this JVM.
-    buildAt("local[4]", 16, numConvs / 15)
-    val t4a = buildAt("local[4]", 16, numConvs)
-    val t1 = buildAt("local[1]", 4, numConvs)
-    val t4b = buildAt("local[4]", 16, numConvs)
-    val warmIdx = s"$benchDir/index-$buildSeq" // the t4b index
+    // The SCALING pair runs the north-star config (DOCS_AND_FREQS — the
+    // rank-identical BM25 top-k needs no positions payload) with min-of-2
+    // samples at BOTH parallelism levels (host noise is strictly additive,
+    // BASELINE.md protocol; a single-sample side lets one quiet/noisy window
+    // swing the ratio by +-0.15). One extra local[4] build at full
+    // DOCS_AND_FREQS_AND_POSITIONS verbosity provides the positional-index
+    // throughput AND the warm index the query phase needs for phrases.
+    buildAt("local[4]", 16, numConvs / 15, positions = true)
+    val t4a = buildAt("local[4]", 16, numConvs, positions = false)
+    val t1a = buildAt("local[1]", 4, numConvs, positions = false)
+    val t4b = buildAt("local[4]", 16, numConvs, positions = false)
+    val t1b = buildAt("local[1]", 4, numConvs, positions = false)
+    val t4pos = buildAt("local[4]", 16, numConvs, positions = true)
+    val warmIdx = s"$benchDir/index-$buildSeq" // the positional index
+    val t1 = math.min(t1a, t1b)
     val t4 = math.min(t4a, t4b)
     val eff = ((turns / t4) / (turns / t1)) / 4.0
     out += "build_local1_s" -> t1
+    out += "build_local1_s_a" -> t1a
+    out += "build_local1_s_b" -> t1b
     out += "build_local4_s" -> t4
     out += "build_local4_s_a" -> t4a
     out += "build_local4_s_b" -> t4b
+    out += "build_positions_local4_s" -> t4pos
 
     // ---- phase 2: query latency on the warm 4N index ----------------------
     val queryStrs = Seq(

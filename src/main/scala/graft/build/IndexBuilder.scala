@@ -69,7 +69,14 @@ object IndexBuilder {
       segmentPartitions: Int = 0,
       // Analysis chain for tokenization (StandardAnalyzer-equivalent by
       // default; e.g. graft.analysis.EnglishAnalyzer for stemmed indexes).
-      analyzer: TextAnalyzer = Analyzer)
+      analyzer: TextAnalyzer = Analyzer,
+      // IndexOptions verbosity (reference per-field knob,
+      // /root/reference/src/Lucene.Net/Index/FieldInfo.cs:315-355):
+      // true  = DOCS_AND_FREQS_AND_POSITIONS (phrase/span/multi-passage
+      //         highlighting supported; ~1 varint byte per occurrence),
+      // false = DOCS_AND_FREQS (BM25 top-k only; positional queries on such
+      //         an index raise a clear error).
+      positions: Boolean = true)
 
   /** Entry point for the transcripts north star: ONE pass over the text.
     *
@@ -99,6 +106,7 @@ object IndexBuilder {
                else partitions(spark, opts)
     val keys = Seq(col("conv_id"), col("turn_idx"))
     val bAn = spark.sparkContext.broadcast(opts.analyzer)
+    val bPos = spark.sparkContext.broadcast(opts.positions)
     if (!manifest.isDone("runs")) {
       val t0 = System.nanoTime()
       turns.toDF()
@@ -108,7 +116,7 @@ object IndexBuilder {
         .as[(String, Int, String)]
         .mapPartitions { it =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          buildRunsWithDocmap(pid, it, bAn.value)
+          buildRunsWithDocmap(pid, it, bAn.value, bPos.value)
         }
         .write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
@@ -141,7 +149,8 @@ object IndexBuilder {
     * pseudo-runs, with partition-local doc ids.
     */
   private def buildRunsWithDocmap(pid: Int,
-      it: Iterator[(String, Int, String)], analyzer: TextAnalyzer): Iterator[Run] = {
+      it: Iterator[(String, Int, String)], analyzer: TextAnalyzer,
+      positions: Boolean): Iterator[Run] = {
     val payload = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(payload)
     var chunkStart = 0L
@@ -160,7 +169,7 @@ object IndexBuilder {
       out.writeInt(t)
       if (local - chunkStart + 1 >= RunMaxPostings) flushDocmap()
       (local, text)
-    }, analyzer)
+    }, analyzer, positions)
     // buildRuns drains `it` eagerly before returning its (lazy) run iterator,
     // so docmapRuns is complete here and run encoding stays streaming.
     flushDocmap()
@@ -200,6 +209,7 @@ object IndexBuilder {
     if (opts.overwrite) manifest.reset()
     val p = partitions(spark, opts)
     val bAn2 = spark.sparkContext.broadcast(opts.analyzer)
+    val bPos2 = spark.sparkContext.broadcast(opts.positions)
 
     // ---- S1: per-partition posting runs (DWPT analog); ids already global
     if (!manifest.isDone("runs")) {
@@ -209,7 +219,7 @@ object IndexBuilder {
         .repartitionByRange(p, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, String)]
-        .mapPartitions(buildRuns(-1, _, bAn2.value))
+        .mapPartitions(buildRuns(-1, _, bAn2.value, bPos2.value))
       runs.write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
@@ -329,7 +339,8 @@ object IndexBuilder {
     * buffers, flushed as compressed runs at partition end.
     */
   private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)],
-                               analyzer: TextAnalyzer = Analyzer): Iterator[Run] = {
+                               analyzer: TextAnalyzer = Analyzer,
+                               positions: Boolean = true): Iterator[Run] = {
     final class Acc {
       val docs = new mutable.ArrayBuffer[Long]()
       val tfs = new mutable.ArrayBuffer[Int]()
@@ -340,21 +351,35 @@ object IndexBuilder {
     val normDocs = new mutable.ArrayBuffer[Long]()
     val normLens = new mutable.ArrayBuffer[Int]()
     it.foreach { case (docId, text) =>
-      val (tp, len) = analyzer.termPositions(if (text == null) "" else text)
-      val nb = SmallFloat.encodeNorm(len)
-      normDocs += docId
-      normLens += len
-      tp.foreach { case (t, ps) =>
-        val acc = terms.getOrElseUpdate(t, new Acc)
-        acc.docs += docId
-        acc.tfs += ps.length
-        acc.norms += nb
-        acc.poss += ps.toArray
+      val txt = if (text == null) "" else text
+      if (positions) {
+        val (tp, len) = analyzer.termPositions(txt)
+        val nb = SmallFloat.encodeNorm(len)
+        normDocs += docId
+        normLens += len
+        tp.foreach { case (t, ps) =>
+          val acc = terms.getOrElseUpdate(t, new Acc)
+          acc.docs += docId
+          acc.tfs += ps.length
+          acc.norms += nb
+          acc.poss += ps.toArray
+        }
+      } else {
+        val (tf, len) = analyzer.termFreqs(txt)
+        val nb = SmallFloat.encodeNorm(len)
+        normDocs += docId
+        normLens += len
+        tf.foreach { case (t, f) =>
+          val acc = terms.getOrElseUpdate(t, new Acc)
+          acc.docs += docId
+          acc.tfs += f
+          acc.norms += nb
+        }
       }
     }
     val termRuns = terms.iterator.flatMap { case (term, acc) =>
       chunkedRuns(pid, term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray,
-        acc.poss.toArray)
+        if (positions) acc.poss.toArray else null)
     }
     val normsRun =
       if (normDocs.isEmpty) Iterator.empty
@@ -432,15 +457,18 @@ object IndexBuilder {
           val tfs = new mutable.ArrayBuffer[Int]()
           val norms = new mutable.ArrayBuffer[Byte]()
           val poss = new mutable.ArrayBuffer[Array[Int]]()
-          while (buf.hasNext && buf.head.term_id == tid) {
-            val r = buf.next()
+          val rows = new mutable.ArrayBuffer[KeyedRun]()
+          while (buf.hasNext && buf.head.term_id == tid) rows += buf.next()
+          // DOCS_AND_FREQS runs carry no positions; a mixed merge drops them
+          val hasPos = rows.forall(r => r.cnt == 0 || r.pos_bytes.nonEmpty)
+          rows.foreach { r =>
             val (d, t, n) = decodeRun(
               Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
                 r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes, r.pos_bytes))
             docs ++= d
             tfs ++= t
             norms ++= n
-            poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
+            if (hasPos) poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
           }
           val n = docs.length
           val idx = Array.range(0, n)
@@ -457,7 +485,7 @@ object IndexBuilder {
             val byDoc = chunk.toArray.sortBy(docs(_))
             PostingCodec.encodeRun(tid,
               byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)),
-              byDoc.map(poss(_)))
+              if (hasPos) byDoc.map(poss(_)) else null)
           }
         }
         pending.next()

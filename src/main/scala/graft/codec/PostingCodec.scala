@@ -214,8 +214,13 @@ object PostingCodec {
     docs
   }
 
-  /** Decode a positions-projection block: (docIds, tfs, norms, positions). */
+  /** Decode a positions-projection block: (docIds, tfs, norms, positions).
+    * Fails fast on a DOCS_AND_FREQS-only index (positions not written).
+    */
   def decodePos(b: PosBlock): (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = {
+    require(b.cnt == 0 || b.pos_bytes.nonEmpty,
+      "positions not indexed (IndexOptions DOCS_AND_FREQS): rebuild with " +
+        "IndexBuilder.Options(positions = true) to run positional queries")
     val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
     (docs, tfs, b.norm_bytes, unpackPositions(b.pos_bytes, tfs))
   }

@@ -20,16 +20,23 @@ object Spans {
   sealed trait SpanQuery {
     /** Leaf terms of the tree (for the postings scan). */
     def terms: Set[String] = this match {
-      case SpanTerm(t)        => Set(t)
+      case SpanTerm(t)          => Set(t)
       case SpanNear(a, b, _, _) => a.terms ++ b.terms
-      case SpanOr(cs)         => cs.flatMap(_.terms).toSet
-      case SpanNot(i, e)      => i.terms ++ e.terms
-      case SpanFirst(q, _)    => q.terms
+      case SpanNearK(cs, _)     => cs.flatMap(_.terms).toSet
+      case SpanOr(cs)           => cs.flatMap(_.terms).toSet
+      case SpanNot(i, e)        => i.terms ++ e.terms
+      case SpanFirst(q, _)      => q.terms
     }
   }
   final case class SpanTerm(term: String) extends SpanQuery
   final case class SpanNear(left: SpanQuery, right: SpanQuery, slop: Int,
                             inOrder: Boolean) extends SpanQuery
+  /** k-ary ORDERED near: sub-spans in document order, pairwise
+    * non-overlapping, with total inter-span gap <= slop — the
+    * NearSpansOrdered matchLength accounting
+    * (end_last - start_first - Σ lengths <= slop).
+    */
+  final case class SpanNearK(clauses: Seq[SpanQuery], slop: Int) extends SpanQuery
   final case class SpanOr(clauses: Seq[SpanQuery]) extends SpanQuery
   final case class SpanNot(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
   final case class SpanFirst(query: SpanQuery, end: Int) extends SpanQuery
@@ -53,6 +60,24 @@ object Spans {
         if ok
       } yield (math.min(a._1, b._1), math.max(a._2, b._2))
       out.distinct.sorted
+    case SpanNearK(cs, slop) =>
+      require(cs.size >= 2, "SpanNearK needs >= 2 clauses")
+      val sub: Seq[Seq[(Int, Int)]] = cs.map(eval(_, tp))
+      if (sub.exists(_.isEmpty)) Nil
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        def rec(i: Int, firstStart: Int, prevEnd: Int, lenSum: Int): Unit =
+          if (i == sub.length) {
+            if (prevEnd - firstStart - lenSum <= slop) out += ((firstStart, prevEnd))
+          } else sub(i).foreach { s =>
+            if (s._1 >= prevEnd &&
+              // prune: gap so far already exceeds the slop budget
+              s._2 - firstStart - (lenSum + (s._2 - s._1)) <= slop)
+              rec(i + 1, firstStart, s._2, lenSum + (s._2 - s._1))
+          }
+        sub.head.foreach(s => rec(1, s._1, s._2, s._2 - s._1))
+        out.distinct.sorted.toSeq
+      }
     case SpanNot(inc, exc) =>
       val bad = eval(exc, tp)
       eval(inc, tp).filter(s => !bad.exists(b => s._1 < b._2 && b._1 < s._2))

@@ -46,32 +46,41 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
   }
 
   def search(q: Query, k: Int): DataFrame = {
-    // Term boost is threaded into the weight exactly as Searcher.search does
+    // Term/clause boosts thread into the weights exactly as Searcher does
     // (segmented/batch parity must hold for boosted queries too).
-    val (b, boost) = q match {
-      case Query.Term(t, bst) => (Query.Bool(should = Seq(t)), bst)
-      case bb: Query.Bool     => (bb, 1.0f)
-      case p: Query.Phrase    => return searchPhrase(p, k)
+    val (must, should0, mustNot0, mm, boosts) = q match {
+      case Query.Term(t, bst) =>
+        (Nil, Seq(t), Nil, 0, Map(t -> bst))
+      case bb: Query.Bool =>
+        (bb.must, bb.should, bb.mustNot, bb.minShouldMatch, Map.empty[String, Float])
+      case Query.BoolQ(cs, mm0) if cs.forall(_._2.isInstanceOf[Query.Term]) =>
+        val ts = cs.map { case (o, t) => (o, t.asInstanceOf[Query.Term]) }
+        (ts.collect { case (Query.Must, t) => t.term },
+          ts.collect { case (Query.Should, t) => t.term },
+          ts.collect { case (Query.MustNot, t) => t.term }, mm0,
+          ts.filter(_._1 != Query.MustNot)
+            .groupBy(_._2.term).map { case (t, xs) => t -> xs.head._2.boost })
+      case p: Query.Phrase => return searchPhrase(p, k)
       case other =>
         throw new UnsupportedOperationException(
-          s"segmented snapshot supports Term/Bool/Phrase (compact() first for: $other)")
+          s"segmented snapshot supports Term/Bool/BoolQ-of-terms/Phrase " +
+            s"(compact() first for: $other)")
     }
-    val must = b.must.distinct
-    val should = b.should.distinct.filterNot(must.contains)
-    val mustNot = b.mustNot.distinct
-    val dict = lookup(must ++ should ++ mustNot)
-    if (must.exists(!dict.contains(_)) || (must ++ should).forall(!dict.contains(_)))
+    val mustD = must.distinct
+    val should = should0.distinct.filterNot(mustD.contains)
+    val mustNot = mustNot0.distinct
+    val dict = lookup(mustD ++ should ++ mustNot)
+    if (mustD.exists(!dict.contains(_)) || (mustD ++ should).forall(!dict.contains(_)))
       return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
-    val posTerms = (must ++ should).filter(dict.contains).sorted
+    val posTerms = (mustD ++ should).filter(dict.contains).sorted
     val notTerms = mustNot.filter(dict.contains)
     // clause index by sorted term order = the canonical float32 sum order
     val clauseIdx: Map[String, Int] = posTerms.zipWithIndex.toMap
     val weights: Map[String, Bm25.TermWeight] = posTerms.map { t =>
       t -> Bm25.termWeight(clauseIdx(t).toLong, dict(t)._1, stats.max_doc,
-        stats.sum_ttf, boost)
+        stats.sum_ttf, boosts.getOrElse(t, 1.0f))
     }.toMap
-    val mustSet = must.toSet
-    val mm = b.minShouldMatch
+    val mustSet = mustD.toSet
 
     val perSegment: Seq[Dataset[(Long, Int, Float, Boolean, Boolean)]] =
       parts.map { d =>

@@ -13,10 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object IndexVerifier {
 
-  private def codecPos(b: PostingBlock): graft.codec.PosBlock =
-    graft.codec.PosBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
-      b.tf_bytes, b.norm_bytes, b.pos_bytes)
-
   def verify(spark: SparkSession, indexDir: String): Seq[String] = {
     import spark.implicits._
     val errs = scala.collection.mutable.ArrayBuffer[String]()
@@ -28,25 +24,29 @@ object IndexVerifier {
 
     // Per-block decode invariants + per-term aggregates from postings.
     val perBlock = postings.map { b =>
-      val (docs, tfs, nbs, poss) = PostingCodec.decodePos(codecPos(b))
+      val (docs, tfs, nbs) = PostingCodec.decode(b)
       var i = 1
       while (i < docs.length) { require(docs(i) > docs(i - 1)); i += 1 }
       require(docs.head == b.first_doc && docs.last == b.last_doc, s"block bounds ${b.term_id}")
       require(tfs.max == b.max_tf, s"max_tf mismatch term ${b.term_id}")
       require(nbs.map(_ & 0xff).max == b.max_nb, s"max_nb mismatch term ${b.term_id}")
       require(tfs.forall(_ >= 1), s"tf < 1 in term ${b.term_id}")
-      // positions: one sorted strictly-increasing list of length tf per posting
-      i = 0
-      while (i < poss.length) {
-        val ps = poss(i)
-        require(ps.length == tfs(i), s"positions count != tf in term ${b.term_id}")
-        var j = 1
-        while (j < ps.length) {
-          require(ps(j) > ps(j - 1), s"positions not increasing in term ${b.term_id}")
-          j += 1
+      // positions (when indexed): one sorted strictly-increasing list of
+      // length tf per posting; a DOCS_AND_FREQS block has no pos payload
+      if (b.pos_bytes.nonEmpty) {
+        val poss = PostingCodec.unpackPositions(b.pos_bytes, tfs)
+        i = 0
+        while (i < poss.length) {
+          val ps = poss(i)
+          require(ps.length == tfs(i), s"positions count != tf in term ${b.term_id}")
+          var j = 1
+          while (j < ps.length) {
+            require(ps(j) > ps(j - 1), s"positions not increasing in term ${b.term_id}")
+            j += 1
+          }
+          require(ps.isEmpty || ps(0) >= 0, s"negative position in term ${b.term_id}")
+          i += 1
         }
-        require(ps.isEmpty || ps(0) >= 0, s"negative position in term ${b.term_id}")
-        i += 1
       }
       (b.term_id, b.cnt.toLong, tfs.map(_.toLong).sum, b.first_doc, b.last_doc)
     }.toDF("term_id", "cnt", "sum_tf", "first_doc", "last_doc")
@@ -71,6 +71,17 @@ object IndexVerifier {
 
     val normCount = norms.count()
     if (normCount != stats.max_doc) errs += s"norms rows $normCount != maxDoc ${stats.max_doc}"
+    // docmap (when present) covers exactly the norms' doc space
+    val docmapPath = new org.apache.hadoop.fs.Path(s"$indexDir/docmap")
+    val fs = docmapPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(docmapPath)) {
+      val docmap = spark.read.parquet(s"$indexDir/docmap")
+      val dmCount = docmap.count()
+      if (dmCount != normCount) errs += s"docmap rows $dmCount != norms rows $normCount"
+      val unmatched = docmap.select("doc_id")
+        .join(norms.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      if (unmatched > 0) errs += s"$unmatched docmap ids missing from norms"
+    }
     val sumLen = norms.agg(coalesce(sum("len"), lit(0L))).as[Long].head()
     if (sumLen != stats.sum_ttf) errs += s"sum(len) $sumLen != sumTtf ${stats.sum_ttf}"
 

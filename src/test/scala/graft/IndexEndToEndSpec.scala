@@ -125,6 +125,25 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.MultiPhrase(Seq(Seq("time", "spark"), Seq("person"), Seq("year", "day"))))
   }
 
+  test("IndexOptions DOCS_AND_FREQS: positions-less index scores identically") {
+    val dir = Files.createTempDirectory("graft_nopos").toString
+    IndexBuilder.buildFromTurns(Transcripts.dataset(spark, numConvs), dir,
+      IndexBuilder.Options(positions = false))
+    assert(IndexVerifier.verify(spark, dir).isEmpty)
+    val slim = new Searcher(spark, dir)
+    for (q <- Seq(Query.Term("time"), Query.parse("+index search -error"),
+      Query.parse("time~1"))) {
+      val a = slim.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val b = searcher.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(a == b, s"positions-less index diverged on $q")
+    }
+    // positional queries fail fast with a clear message
+    val e = intercept[Exception] {
+      slim.search(Query.Phrase(Seq("time", "person")), 10).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("k larger than hit count and k=1") {
     check(Query.Term("w001234"), k = 10000)
     check(Query.Bool(should = Seq("time", "person")), k = 1)

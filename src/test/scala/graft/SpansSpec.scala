@@ -54,6 +54,19 @@ class SpansSpec extends AnyFunSuite {
     assert(eval(SpanFirst(SpanTerm("a"), 4), tp) == Seq((0, 1), (3, 4)))
   }
 
+  test("k-ary ordered near with total-gap slop accounting") {
+    // a@0 b@1 c@2 a@3 d@4
+    assert(eval(SpanNearK(Seq(SpanTerm("a"), SpanTerm("b"), SpanTerm("c")), 0), tp) ==
+      Seq((0, 3)))
+    // a..c..d: gap 1 (position 1 or 3 skipped): a@0 c@2 d@4 has gaps 1+1=2
+    assert(eval(SpanNearK(Seq(SpanTerm("a"), SpanTerm("c"), SpanTerm("d")), 1), tp) == Nil)
+    assert(eval(SpanNearK(Seq(SpanTerm("a"), SpanTerm("c"), SpanTerm("d")), 2), tp) ==
+      Seq((0, 5)))
+    // second 'a' gives a tighter 3-term window: b@1 c@2 a@3 contiguous
+    assert(eval(SpanNearK(Seq(SpanTerm("b"), SpanTerm("c"), SpanTerm("a")), 0), tp) ==
+      Seq((1, 4)))
+  }
+
   test("nested composition: near over or") {
     val q = SpanNear(SpanOr(Seq(SpanTerm("a"), SpanTerm("c"))), SpanTerm("d"), 1,
       inOrder = true)

@@ -43,7 +43,10 @@ class StreamingSpec extends AnyFunSuite {
     Query.Bool(should = Seq("time"), mustNot = Seq("person")),
     // phrase over segments: per-segment positional scans + global stats
     Query.Phrase(Seq("time", "person")),
-    Query.Phrase(Seq("time", "person"), slop = 2))
+    Query.Phrase(Seq("time", "person"), slop = 2),
+    // weighted BoolQ through the parser (per-clause boosts)
+    Query.parse("time^2 person"),
+    Query.parse("+time person^0.5 -man"))
 
   test("three appended segments search identically to the batch build") {
     val seg = new SegmentedSearcher(spark, dirs._1)
