@@ -73,6 +73,13 @@ object Bench {
     // (as on a real cluster: segments sized by docs, executors consume tasks).
     val segP = 64
     var buildSeq = 0
+    def rmrfDir(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
     def buildAt(master: String, shuffle: Int, convs: Long,
                 positions: Boolean): Double = {
       buildSeq += 1
@@ -86,6 +93,12 @@ object Bench {
             positions = positions))
       }
       s.stop()
+      // UNTIMED hygiene between timed regions: drop the previous build's
+      // output and flush dirty pages so writeback/discard from build N-1
+      // never bleeds into build N's timed region (BASELINE.md noise notes).
+      if (buildSeq >= 2) rmrfDir(s"$benchDir/index-${buildSeq - 1}")
+      try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(3000) }
+      catch { case _: Throwable => }
       t
     }
     // JIT warmup: small untimed build compiles the pipeline for this JVM.

@@ -457,18 +457,22 @@ object IndexBuilder {
           val tfs = new mutable.ArrayBuffer[Int]()
           val norms = new mutable.ArrayBuffer[Byte]()
           val poss = new mutable.ArrayBuffer[Array[Int]]()
-          val rows = new mutable.ArrayBuffer[KeyedRun]()
-          while (buf.hasNext && buf.head.term_id == tid) rows += buf.next()
-          // DOCS_AND_FREQS runs carry no positions; a mixed merge drops them
-          val hasPos = rows.forall(r => r.cnt == 0 || r.pos_bytes.nonEmpty)
-          rows.foreach { r =>
+          // streaming decode (no per-term row buffering — allocation here is
+          // 4-thread-side GC pressure). DOCS_AND_FREQS runs carry no
+          // positions; a mixed merge drops them for the term.
+          var hasPos = true
+          while (buf.hasNext && buf.head.term_id == tid) {
+            val r = buf.next()
             val (d, t, n) = decodeRun(
               Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
                 r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes, r.pos_bytes))
             docs ++= d
             tfs ++= t
             norms ++= n
-            if (hasPos) poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
+            if (hasPos) {
+              if (r.cnt > 0 && r.pos_bytes.isEmpty) { hasPos = false; poss.clear() }
+              else poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
+            }
           }
           val n = docs.length
           val idx = Array.range(0, n)
