@@ -155,6 +155,49 @@ object Analyzer extends TextAnalyzer {
   }
 }
 
+/** WhitespaceAnalyzer: split on whitespace, case preserved, no filters
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Core/WhitespaceTokenizer.cs).
+  */
+object WhitespaceAnalyzer extends TextAnalyzer {
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]()
+    text.split("\\s+").foreach(t => if (t.nonEmpty) out += t)
+    out
+  }
+}
+
+/** SimpleAnalyzer: maximal letter runs, lowercased
+  * (LetterTokenizer + LowerCaseFilter,
+  * /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Core/SimpleAnalyzer.cs).
+  */
+object SimpleAnalyzer extends TextAnalyzer {
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length() > 0) { out += sb.toString; sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length() > 0) out += sb.toString
+    out
+  }
+}
+
+/** KeywordAnalyzer: the whole input as ONE untouched token
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Core/KeywordAnalyzer.cs).
+  */
+object KeywordAnalyzer extends TextAnalyzer {
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]()
+    if (text.nonEmpty) out += text
+    out
+  }
+}
+
 /** EnglishAnalyzer-equivalent chain: tokenizer -> possessive strip ->
   * lowercase -> stop -> Porter stem
   * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/En/EnglishAnalyzer.cs

@@ -356,6 +356,15 @@ object Gate {
         .orderBy("lang")),
     "ft_drill_sideways" -> ((s, d) => drillSideways(s, d)),
     "ft_suggest" -> ((s, d) => suggest(s, d, "tabel", 5)),
+    "ft_high_freq_terms" -> ((s, d) => {
+      // HighFreqTerms (/root/reference/src/Lucene.Net.Misc/Misc/HighFreqTerms.cs):
+      // top terms by document frequency from the term dictionary
+      val idx = indexDir(s, d)
+      termdict(s, idx)
+        .select(col("term"), col("df").cast("long"), col("ttf").cast("long"))
+        .orderBy(desc("df"), asc("term"))
+        .limit(10)
+    }),
     "ft_highlight_multi" -> ((s, d) => highlightMulti(s, d, "vector", 3, 3)),
     "ft_q_regexp" -> ((s, d) =>
       topkSum(s, d, expand(s, d, col("term").rlike("^w.ndow$")), 10)),

@@ -261,6 +261,8 @@ object GateOracle {
          |  SELECT 'source' AS dim, source AS value, count(*) AS cnt
          |  FROM j WHERE lang = 'en' GROUP BY source
          |) ORDER BY dim, value""".stripMargin,
+    "ft_high_freq_terms" ->
+      s"$prelude SELECT term, df, ttf FROM dfs ORDER BY df DESC, term LIMIT 10",
     "ft_suggest" ->
       s"""$prelude
          |SELECT term, CAST(levenshtein(term, 'tabel') AS BIGINT) AS dist, df

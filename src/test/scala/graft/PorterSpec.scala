@@ -81,6 +81,18 @@ class PorterSpec extends AnyFunSuite {
     assert(collisions.isEmpty, s"stem collisions: $collisions")
   }
 
+  test("alternate core analyzers: whitespace, simple, keyword") {
+    import graft.analysis.{KeywordAnalyzer, SimpleAnalyzer, WhitespaceAnalyzer}
+    assert(WhitespaceAnalyzer.terms("The QUICK  brown-fox 3.14").toSeq ==
+      Seq("The", "QUICK", "brown-fox", "3.14"))
+    assert(SimpleAnalyzer.terms("The QUICK brown-fox 3.14").toSeq ==
+      Seq("the", "quick", "brown", "fox"))
+    assert(KeywordAnalyzer.terms("The QUICK brown").toSeq == Seq("The QUICK brown"))
+    assert(KeywordAnalyzer.terms("").isEmpty)
+    // derived methods come from the shared trait
+    assert(SimpleAnalyzer.termFreqs("a b a")._1("a") == 2)
+  }
+
   test("token-filter combinators: shingles, ngrams, synonyms, folding") {
     assert(TokenFilters.shingles(Array("a", "b", "c"), 2, 3).toSeq ==
       Seq("a", "a b", "a b c", "b", "b c", "c"))
