@@ -549,11 +549,14 @@ object Gate {
     rank(scored, k)
   }
 
-  /** Sloppy PhraseQuery (slop=2) from the positions index: each t1 occurrence
-    * contributes SloppyFreq = 1/(d+1) for its nearest in-slop t2 partner,
+  /** Sloppy PhraseQuery (slop=2) from the positions index — the
+    * SQL-EXPRESSIBLE parity variant: each t1 occurrence contributes
+    * SloppyFreq = 1/(d+1) for its nearest in-slop t2 partner,
     * d = |pos2 - pos1 - 1| (weighting per
-    * /root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77;
-    * window algorithm simplified as documented in [[graft.query.Query.Phrase]]).
+    * /root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77).
+    * The ENGINE's float path runs the reference's full window walk instead
+    * ([[graft.query.SloppyPhrase]], spec-verified against the oracle); this
+    * gate op keeps a formula DuckDB can mirror token-for-token.
     */
   def sloppyPhraseQuery(spark: SparkSession, sfDir: String, t1: String, t2: String,
                         slop: Int, k: Int): DataFrame = {

@@ -114,14 +114,7 @@ final class BruteForce(docs: Seq[(Long, String)],
           }
           pf = c.toFloat
         } else {
-          cp(0).foreach { p1 =>
-            var best = Int.MaxValue
-            cp(1).foreach { p2 =>
-              val d = math.abs(p2 - p1 - 1)
-              if (d < best) best = d
-            }
-            if (best <= slop) pf += 1.0f / (best + 1)
-          }
+          pf = graft.query.SloppyPhrase.freq(cp.toArray, slop)
         }
         if (pf > 0.0f)
           Some((id, Bm25.score(weightValue, pf, cache, SmallFloat.encodeNorm(len))))

@@ -65,17 +65,8 @@ final class MemoryIndex(text: String, analyzer: TextAnalyzer = Analyzer) {
       }
       c.toFloat
     } else {
-      require(p.terms.size == 2, "sloppy phrase supports two terms")
-      var pf = 0.0f
-      cp(0).foreach { p1 =>
-        var best = Int.MaxValue
-        cp(1).foreach { p2 =>
-          val d = math.abs(p2 - p1 - 1)
-          if (d < best) best = d
-        }
-        if (best <= p.slop) pf += 1.0f / (best + 1)
-      }
-      pf
+      require(p.terms.distinct.size == p.terms.size, "sloppy phrase needs distinct terms")
+      SloppyPhrase.freq(cp.toArray, p.slop)
     }
   }
 }

@@ -271,8 +271,9 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   private def searchPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
                                k: Int): DataFrame = {
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || (slots.size == 2 && slots.forall(_.size == 1)),
-      "sloppy phrase supports two single terms")
+    require(slop == 0 || (slots.forall(_.size == 1) &&
+      slots.flatten.distinct.size == slots.size),
+      "sloppy phrase needs distinct single terms per slot")
     val dict = lookup(slots.flatten.distinct)
     // alternatives absent from the dictionary drop out; an empty slot
     // matches nothing (MultiPhraseQuery semantics)
@@ -368,16 +369,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
                 }
                 pf = c.toFloat
               } else {
-                // two-term sloppy: each leading occurrence contributes
-                // 1/(d+1) for its nearest in-slop partner (|p2 - p1 - 1| = d)
-                cp(0).foreach { p1 =>
-                  var best = Int.MaxValue
-                  cp(1).foreach { p2 =>
-                    val d = math.abs(p2 - p1 - 1)
-                    if (d < best) best = d
-                  }
-                  if (best <= slop) pf += 1.0f / (best + 1)
-                }
+                pf = SloppyPhrase.freq(cp, slop) // reference window walk
               }
               if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
             }

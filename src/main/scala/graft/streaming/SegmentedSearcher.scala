@@ -156,7 +156,8 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     */
   private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
     import graft.codec.{PosBlock, PostingCodec}
-    require(p.slop == 0 || p.terms.size == 2, "sloppy phrase supports two terms")
+    require(p.slop == 0 || p.terms.distinct.size == p.terms.size,
+      "sloppy phrase needs distinct terms")
     val dict = lookup(p.terms.distinct)
     if (p.terms.exists(t => !dict.contains(t)))
       return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
@@ -217,14 +218,7 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
                 }
                 pf = cnt.toFloat
               } else {
-                cp(0).foreach { p1 =>
-                  var best = Int.MaxValue
-                  cp(1).foreach { p2 =>
-                    val d = math.abs(p2 - p1 - 1)
-                    if (d < best) best = d
-                  }
-                  if (best <= slop) pf += 1.0f / (best + 1)
-                }
+                pf = graft.query.SloppyPhrase.freq(cp, slop)
               }
               if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
             }

@@ -109,9 +109,12 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.Phrase(Seq("time", "zzzznothere")))
     // 3-term exact phrase
     check(Query.Phrase(Seq("time", "person", "year")))
-    // sloppy: nearest-partner 1/(d+1) weighting, reordering allowed
+    // sloppy: the reference window walk (1/(matchLength+1) per minimal window)
     check(Query.Phrase(Seq("time", "person"), slop = 2))
     check(Query.Phrase(Seq("index", "search"), slop = 3))
+    check(Query.Phrase(Seq("person", "time"), slop = 2))      // transposed
+    check(Query.Phrase(Seq("time", "person", "year"), slop = 4)) // 3-term sloppy
+    check(Query.Phrase(Seq("spark", "index", "search"), slop = 2))
     // boosted phrase
     check(Query.Phrase(Seq("time", "person"), boost = 2.0f))
   }
