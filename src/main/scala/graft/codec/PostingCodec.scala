@@ -85,6 +85,27 @@ object PosBlock {
     "tf_bytes", "norm_bytes", "pos_bytes")
 }
 
+/** Positions projection carrying `last_doc` too — the doc-range co-partition
+  * path ([[graft.query.PositionalScan]]) keys each block by the doc-range
+  * buckets [first_doc/R, last_doc/R] it overlaps, so blocks ship PACKED
+  * through the shuffle (the flat-skip-list metadata doing double duty as the
+  * partitioner key).
+  */
+final case class PosSpanBlock(
+    term_id: Long,
+    first_doc: Long,
+    last_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    pos_bytes: Array[Byte])
+
+object PosSpanBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "last_doc", "cnt",
+    "doc_bytes", "tf_bytes", "norm_bytes", "pos_bytes")
+}
+
 object PostingCodec {
   final val BlockSize = 128
 
@@ -189,6 +210,14 @@ object PostingCodec {
     (docs, tfs)
   }
 
+  /** Decode the (docIds, tfs) cells of a packed block — the positional
+    * kernel decodes from raw cells so the positions payload can be skipped
+    * per posting without materializing arrays.
+    */
+  def decodeDocsTfs(firstDoc: Long, cnt: Int, docBytes: Array[Byte],
+                    tfBytes: Array[Byte]): (Array[Long], Array[Int]) =
+    decodeCore(firstDoc, cnt, docBytes, tfBytes)
+
   /** Decode a block back to parallel (docIds, tfs, norms) arrays. */
   def decode(b: PostingBlock): (Array[Long], Array[Int], Array[Byte]) = {
     val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
@@ -224,4 +253,8 @@ object PostingCodec {
     val (docs, tfs) = decodeCore(b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes)
     (docs, tfs, b.norm_bytes, unpackPositions(b.pos_bytes, tfs))
   }
+
+  def decodePos(b: PosSpanBlock): (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) =
+    decodePos(PosBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes, b.tf_bytes,
+      b.norm_bytes, b.pos_bytes))
 }

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.codec.{PosBlock, PostingCodec, ScoreBlock}
+import graft.codec.{PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import graft.score.Bm25
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,19 +20,15 @@ import org.apache.spark.sql.functions._
   *   /root/reference/src/Lucene.Net/Search/HitQueue.cs:88-105).
   */
 object Searcher {
-  /** Postings volume above which the conjunction-first phrase pre-filter
-    * pays for its extra stages (see searchPositional). Measured on this
-    * class of corpus: below ~10^6 postings the two added stage barriers cost
-    * more than the positions-shuffle bytes they save (A/B at 4M turns:
-    * 1.29 s vs 2.27 s p50 WITH the filter); the byte saving scales linearly
-    * with df while the stage cost is constant, so the filter wins at
-    * cluster scale. `graft.phrase.prefilter` forces it either way.
+  /** Lead-term threshold for the phrase block filter: when the rarest slot's
+    * df is at most this, its block ranges (df/128 rows of skip metadata, so
+    * <= 512 driver-side rows) prune every other term's blocks before the
+    * positions shuffle — ExactPhraseScorer's lead-with-rarest conjunction
+    * order at block granularity. Bounded by construction, so it is safe at
+    * any corpus scale; `graft.phrase.leadMaxDf` overrides.
     */
-  private[query] val PhrasePrefilterMinPostings = 5_000_000L
-
-  private[query] def phrasePrefilter(totalDf: Long): Boolean =
-    sys.props.get("graft.phrase.prefilter").map(_.toBoolean)
-      .getOrElse(totalDf > PhrasePrefilterMinPostings)
+  private[query] def phraseLeadMaxDf: Long =
+    sys.props.get("graft.phrase.leadMaxDf").map(_.toLong).getOrElse(65536L)
 }
 
 final class Searcher(val spark: SparkSession, indexDir: String,
@@ -261,15 +257,19 @@ final class Searcher(val spark: SparkSession, indexDir: String,
 
   /** Native positional search from the positions index (ExactPhraseScorer /
     * SloppyPhraseScorer / MultiPhraseQuery semantics, see [[Query.Phrase]] /
-    * [[Query.MultiPhrase]]): one postings scan that reads the pos_bytes
-    * column only for the phrase's terms, a sorted per-doc fold that aligns
-    * positions (each slot = sorted-distinct union of its alternatives'
-    * lists), then BM25 with freq = phrase frequency and weight = summed idf
-    * in canonical order (/root/reference/src/Lucene.Net/Search/PhraseQuery.cs,
-    * MultiPhraseQuery.cs weight construction).
+    * [[Query.MultiPhrase]]): one positions-column scan pruned to the
+    * phrase's terms, blocks shipped PACKED through a doc-range-bucketed
+    * shuffle, decoded doc-at-a-time reduce-side (the [[PositionalScan]]
+    * kernel), then BM25 with freq = phrase frequency and weight = summed
+    * idf in canonical order
+    * (/root/reference/src/Lucene.Net/Search/PhraseQuery.cs,
+    * MultiPhraseQuery.cs weight construction). When the rarest slot is
+    * selective its block ranges prune the other terms' blocks up front
+    * (lead-term conjunction order, ExactPhraseScorer.cs:118).
     */
   private def searchPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
                                k: Int): DataFrame = {
+    import graft.codec.PosSpanBlock
     require(slots.size >= 2, "phrase needs at least two positions")
     require(slop == 0 || (slots.forall(_.size == 1) &&
       slots.flatten.distinct.size == slots.size),
@@ -287,94 +287,46 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     val weightValue = Bm25.weightValue(idfSum, boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
     val ids = slotTids.flatten.distinct.toSeq
-    val nSlots = slotTids.length
 
-    // Conjunction-first candidate filter (ExactPhraseScorer advances the
-    // conjunction before checking positions, ExactPhraseScorer.cs:237): a
-    // slim doc-ids-only scan finds docs covering EVERY slot, so the
-    // positions payload is shuffled only for them. AQE broadcasts the
-    // candidate set when it is small (the common phrase case).
-    val slotOfTid: Map[Long, Seq[Int]] =
-      slotTids.zipWithIndex.flatMap { case (ts, i) => ts.map(t => (t, i)) }
-        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
-    def candidates: DataFrame = {
-      import graft.codec.DocsBlock
-      val bSlotOf = spark.sparkContext.broadcast(slotOfTid)
-      postings
-        .filter(col("term_id").isin(ids: _*))
-        .select(DocsBlock.cols.map(col): _*)
-        .as[DocsBlock]
-        .flatMap { b =>
-          val docs = PostingCodec.decodeDocs(b)
-          val slots = bSlotOf.value(b.term_id)
-          docs.iterator.flatMap(d => slots.iterator.map(s => (d, s)))
-        }
-        .toDF("doc_id", "slot")
-        .groupBy("doc_id")
-        .agg(countDistinct("slot").as("ns"))
-        .filter(col("ns") === nSlots)
-        .select("doc_id")
+    // compact term index + slot -> indices mapping for the kernel
+    val tiOf: Map[Long, Int] = ids.sorted.zipWithIndex.toMap
+    val slotIdx: Array[Array[Int]] = slotTids.map(_.map(tiOf))
+    val width = PositionalScan.bucketWidth(spark, stats.max_doc)
+
+    var blocks = postings
+      .filter(col("term_id").isin(ids: _*))
+      .select(PosSpanBlock.cols.map(col): _*)
+      .as[PosSpanBlock]
+
+    // lead slot = rarest (fewest total postings); its terms stream first on
+    // the reduce side (rank 0), and when it is selective enough its block
+    // ranges also prune the other terms' blocks up front
+    val slotDf: Array[Long] = slotTids.map(_.map(tid => idByTerm(tid).df).sum)
+    val minDf = slotDf.min
+    val leadTis: Set[Int] = slotIdx(slotDf.indexOf(minDf)).toSet
+    if (minDf <= Searcher.phraseLeadMaxDf && slotDf.exists(_ > minDf)) {
+      val leadTids = slotTids(slotDf.indexOf(minDf)).toSeq
+      val ranges = postings
+        .filter(col("term_id").isin(leadTids: _*))
+        .select("first_doc", "last_doc")
+        .as[(Long, Long)].collect()
+      val iv = PositionalScan.Intervals.merge(ranges)
+      val bIv = spark.sparkContext.broadcast(iv)
+      blocks = blocks.filter(b => bIv.value.overlaps(b.first_doc, b.last_doc))
     }
 
-    val posRows = postings
-      .filter(col("term_id").isin(ids: _*))
-      .select(PosBlock.cols.map(col): _*)
-      .as[PosBlock]
-      .flatMap { b =>
-        val (docs, _, nbs, poss) = PostingCodec.decodePos(b)
-        docs.indices.iterator.map(i => (docs(i), b.term_id, nbs(i), poss(i)))
-      }
-      .toDF("doc_id", "term_id", "nb", "pos")
-    val totalDf = slotTids.flatten.map(tid => idByTerm(tid).df).sum
-    val posHits =
-      (if (Searcher.phrasePrefilter(totalDf))
-        posRows.join(candidates, Seq("doc_id"), "left_semi")
-       else posRows)
-        .as[(Long, Long, Byte, Array[Int])]
+    val bTi = spark.sparkContext.broadcast(tiOf)
+    val bLead = spark.sparkContext.broadcast(leadTis)
+    val tagged = blocks.flatMap { b =>
+      val ti = bTi.value(b.term_id)
+      val rank = if (bLead.value(ti)) 0 else 1
+      PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+        PositionalScan.Tagged(bk, rank, ti, b.first_doc, b.cnt, b.doc_bytes,
+          b.tf_bytes, b.norm_bytes, b.pos_bytes))
+    }
 
-    val bSlots = spark.sparkContext.broadcast(slotTids)
-    val scored = posHits.toDF("doc_id", "term_id", "nb", "pos")
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "term_id")
-      .as[(Long, Long, Byte, Array[Int])]
-      .mapPartitions { it =>
-        val slotsT = bSlots.value
-        val byTid = new scala.collection.mutable.HashMap[Long, Array[Int]]()
-        var nb: Byte = 0
-        // sorted-distinct union of the slot's alternatives' position lists
-        def slotPositions(tids: Array[Long]): Array[Int] = {
-          val present = tids.flatMap(byTid.get)
-          if (present.isEmpty) Array.emptyIntArray
-          else if (present.length == 1) present(0)
-          else present.flatten.distinct.sorted
-        }
-        Combine.fold[(Long, Long, Byte, Array[Int])](it, _._1,
-          reset = () => { byTid.clear() },
-          add = { case (_, tid, n, ps) => nb = n; byTid.update(tid, ps) },
-          finish = _ => {
-            val cp: Array[Array[Int]] = slotsT.map(slotPositions)
-            if (cp.exists(_.isEmpty)) Float.NaN
-            else {
-              var pf = 0.0f
-              if (slop == 0) {
-                var c = 0
-                cp(0).foreach { p0 =>
-                  var ok = true
-                  var i = 1
-                  while (ok && i < nSlots) {
-                    ok = java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0
-                    i += 1
-                  }
-                  if (ok) c += 1
-                }
-                pf = c.toFloat
-              } else {
-                pf = SloppyPhrase.freq(cp, slop) // reference window walk
-              }
-              if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
-            }
-          })
-      }
+    val scored = PositionalScan.score(spark, tagged, ids.size, slotIdx, width,
+      slop, weightValue, cache)
 
     live(scored.toDF("doc_id", "score"))
       .orderBy(desc("score"), asc("doc_id"))

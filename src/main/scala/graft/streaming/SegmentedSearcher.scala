@@ -150,12 +150,16 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       .limit(k)
   }
 
-  /** Phrase over a segmented snapshot: per-segment positional scans (each
-    * doc's postings live in exactly one segment) scored with GLOBAL
-    * statistics — the same cross-leaf weight resolution as the term path.
+  /** Phrase over a segmented snapshot: per-segment positional block scans
+    * (each doc's postings live in exactly one segment) scored with GLOBAL
+    * statistics — the same cross-leaf weight resolution as the term path —
+    * through the shared doc-range-bucketed kernel
+    * ([[graft.query.PositionalScan]]; doc ids are globally unique and
+    * dense across base + segments, so one bucketing covers the union).
     */
   private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
-    import graft.codec.{PosBlock, PostingCodec}
+    import graft.codec.PosSpanBlock
+    import graft.query.PositionalScan
     require(p.slop == 0 || p.terms.distinct.size == p.terms.size,
       "sloppy phrase needs distinct terms")
     val dict = lookup(p.terms.distinct)
@@ -166,64 +170,32 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     val weightValue = Bm25.weightValue(idfSum, p.boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
     val clauseIdx: Map[String, Int] = p.terms.distinct.zipWithIndex.toMap
-    val nClauses = p.terms.size
-    val slop = p.slop
-    val bTerms = spark.sparkContext.broadcast(p.terms.toArray.map(clauseIdx))
+    val slotIdx: Array[Array[Int]] = p.terms.toArray.map(t => Array(clauseIdx(t)))
+    val width = PositionalScan.bucketWidth(spark, stats.max_doc)
+    val leadClause = clauseIdx(p.terms.minBy(t => dict(t)._1))
 
-    val perSegment: Seq[Dataset[(Long, Int, Byte, Array[Int])]] = parts.map { d =>
+    val perSegment: Seq[Dataset[PositionalScan.Tagged]] = parts.map { d =>
       val tidMap: Map[Long, Int] = p.terms.distinct.flatMap { t =>
         dict(t)._2.collect { case (`d`, tid) => tid -> clauseIdx(t) }
       }.toMap
-      if (tidMap.isEmpty) spark.emptyDataset[(Long, Int, Byte, Array[Int])]
+      if (tidMap.isEmpty) spark.emptyDataset[PositionalScan.Tagged]
       else {
         val bm = spark.sparkContext.broadcast(tidMap)
         spark.read.parquet(s"$d/postings")
           .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
-          .select(PosBlock.cols.map(col): _*)
-          .as[PosBlock]
-          .flatMap { blk =>
-            val (docs, _, nbs, poss) = PostingCodec.decodePos(blk)
-            val clause = bm.value(blk.term_id)
-            docs.indices.iterator.map(i => (docs(i), clause, nbs(i), poss(i)))
+          .select(PosSpanBlock.cols.map(col): _*)
+          .as[PosSpanBlock]
+          .flatMap { b =>
+            val ti = bm.value(b.term_id)
+            val rank = if (ti == leadClause) 0 else 1
+            PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+              PositionalScan.Tagged(bk, rank, ti, b.first_doc, b.cnt,
+                b.doc_bytes, b.tf_bytes, b.norm_bytes, b.pos_bytes))
           }
       }
     }
-    val scored = perSegment.reduce(_ union _)
-      .toDF("doc_id", "clause", "nb", "pos")
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "clause")
-      .as[(Long, Int, Byte, Array[Int])]
-      .mapPartitions { it =>
-        val slotOfClause = bTerms.value // phrase position i -> distinct-clause id
-        val byClause = new scala.collection.mutable.HashMap[Int, Array[Int]]()
-        var nb: Byte = 0
-        graft.query.Combine.fold[(Long, Int, Byte, Array[Int])](it, _._1,
-          reset = () => byClause.clear(),
-          add = { case (_, c, n, ps) => nb = n; byClause.update(c, ps) },
-          finish = _ => {
-            val cp = slotOfClause.map(c => byClause.getOrElse(c, Array.emptyIntArray))
-            if (cp.exists(_.isEmpty)) Float.NaN
-            else {
-              var pf = 0.0f
-              if (slop == 0) {
-                var cnt = 0
-                cp(0).foreach { p0 =>
-                  var ok = true
-                  var i = 1
-                  while (ok && i < nClauses) {
-                    ok = java.util.Arrays.binarySearch(cp(i), p0 + i) >= 0
-                    i += 1
-                  }
-                  if (ok) cnt += 1
-                }
-                pf = cnt.toFloat
-              } else {
-                pf = graft.query.SloppyPhrase.freq(cp, slop)
-              }
-              if (pf > 0.0f) Bm25.score(weightValue, pf, cache, nb) else Float.NaN
-            }
-          })
-      }
+    val scored = PositionalScan.score(spark, perSegment.reduce(_ union _),
+      clauseIdx.size, slotIdx, width, p.slop, weightValue, cache)
     val liveOnly =
       if (snap.tombs.isEmpty) scored.toDF("doc_id", "score")
       else {
