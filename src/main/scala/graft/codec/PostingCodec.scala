@@ -59,6 +59,26 @@ object ScoreBlock {
     "tf_bytes", "norm_bytes", "max_tf", "max_nb")
 }
 
+/** Scoring projection carrying `last_doc` too — the doc-range co-partition
+  * combine ([[graft.query.BlockCombine]]) keys blocks by the doc-range
+  * buckets they overlap, like [[PosSpanBlock]] on the positional path.
+  */
+final case class ScoreSpanBlock(
+    term_id: Long,
+    first_doc: Long,
+    last_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    max_tf: Int,
+    max_nb: Int)
+
+object ScoreSpanBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "last_doc", "cnt",
+    "doc_bytes", "tf_bytes", "norm_bytes", "max_tf", "max_nb")
+}
+
 /** Doc-ids-only projection — the cheapest scan (conjunction pre-filters). */
 final case class DocsBlock(
     term_id: Long,

@@ -173,63 +173,64 @@ final class Searcher(val spark: SparkSession, indexDir: String,
       d.term_id -> similarity.termScorer(d.df, d.ttf, stats, boosts(t))
     }.toMap
     val mustIds = must.flatMap(dict.get).map(_.term_id).toSet
-    val shouldIds = should.flatMap(dict.get).map(_.term_id).toSet
     val notIds = notTerms.map(dict(_).term_id).toSet
-    val allIds = (weights.keySet ++ notIds).toSeq
-
-    val bw = spark.sparkContext.broadcast(weights)
-    val bMust = spark.sparkContext.broadcast(mustIds)
-    val bNot = spark.sparkContext.broadcast(notIds)
-
-    val hits = scoredHits(allIds, bw)
 
     val combined =
       if (posTerms.size == 1 && notIds.isEmpty && mm <= 1) {
-        hits.map(h => (h._1, h._3)) // single positive term: no grouping needed
+        // single positive term: no combine, no shuffle
+        val bw = spark.sparkContext.broadcast(weights)
+        scoredHits(weights.keySet.toSeq, bw).map(h => (h._1, h._3))
       } else {
-        val nMust = mustIds.size
-        combineHits(hits, bMust, bNot, nMust, mm)
+        // compact ti ascending term_id == the canonical clause-sum order
+        val allTids: Seq[Long] = (weights.keySet ++ notIds).toSeq.sorted
+        val tiOf: Map[Long, Int] = allTids.zipWithIndex.toMap
+        val scorers: Array[graft.score.Similarity.TermScorer] =
+          allTids.map(tid => weights.getOrElse(tid, null)).toArray
+        val isMust: Array[Boolean] = allTids.map(mustIds.contains).toArray
+        val isNot: Array[Boolean] = allTids.map(notIds.contains).toArray
+        // lead-with-rarest MUST term (ConjunctionScorer order): per-doc
+        // state sized by the rarest conjunct, and when selective its block
+        // ranges prune every other term's blocks pre-shuffle
+        val dfOf: Map[Long, Long] =
+          dict.values.map(d => d.term_id -> d.df).toMap
+        val leadTid: Option[Long] =
+          if (mustIds.nonEmpty) Some(mustIds.minBy(dfOf)) else None
+        val leadTi = leadTid.map(tiOf).getOrElse(-1)
+        val width = PositionalScan.bucketWidth(spark, stats.max_doc)
+
+        import graft.codec.ScoreSpanBlock
+        var blocks = postings
+          .filter(col("term_id").isin(allTids: _*))
+          .select(ScoreSpanBlock.cols.map(col): _*)
+          .as[ScoreSpanBlock]
+        leadTid.filter(t => dfOf(t) <= Searcher.phraseLeadMaxDf && allTids.size > 1)
+          .foreach { t =>
+            val ranges = postings.filter(col("term_id") === t)
+              .select("first_doc", "last_doc").as[(Long, Long)].collect()
+            val bIv = spark.sparkContext.broadcast(PositionalScan.Intervals.merge(ranges))
+            blocks = blocks.filter(b => bIv.value.overlaps(b.first_doc, b.last_doc))
+          }
+
+        val bTi = spark.sparkContext.broadcast(tiOf)
+        val bNotSet = spark.sparkContext.broadcast(notIds)
+        val tagged = blocks.flatMap { b =>
+          val ti = bTi.value(b.term_id)
+          // MUST_NOT terms never establish docs; with a MUST lead, only it does
+          val rank =
+            if (bNotSet.value(b.term_id)) 1
+            else if (leadTi < 0) 0
+            else if (ti == leadTi) 0 else 1
+          PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+            BlockCombine.Tagged(bk, rank, ti, b.first_doc, b.cnt,
+              b.doc_bytes, b.tf_bytes, b.norm_bytes))
+        }
+        BlockCombine.combine(spark, tagged, scorers, isMust, isNot,
+          nMust = mustIds.size, mm = mm, width = width)
       }
 
     live(combined.toDF("doc_id", "score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
-  }
-
-  /** Boolean combine as a sorted-shuffle streaming fold (rows arrive sorted
-    * by (doc_id, term_id), so the float32 accumulation is in the canonical
-    * ascending-term_id order with no per-doc array materialization).
-    */
-  private[query] def combineHits(
-      hits: org.apache.spark.sql.Dataset[(Long, Long, Float)],
-      bMust: org.apache.spark.broadcast.Broadcast[Set[Long]],
-      bNot: org.apache.spark.broadcast.Broadcast[Set[Long]],
-      nMust: Int, mm: Int): org.apache.spark.sql.Dataset[(Long, Float)] = {
-    hits.toDF("doc_id", "term_id", "s")
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "term_id")
-      .as[(Long, Long, Float)]
-      .mapPartitions { it =>
-        val must = bMust.value
-        val not = bNot.value
-        var mustSeen = 0
-        var shouldSeen = 0
-        var excluded = false
-        var score = 0.0f
-        Combine.fold[(Long, Long, Float)](it, _._1,
-          reset = () => { mustSeen = 0; shouldSeen = 0; excluded = false; score = 0.0f },
-          add = { case (_, tid, s) =>
-            if (not.contains(tid)) excluded = true
-            else {
-              if (must.contains(tid)) mustSeen += 1 else shouldSeen += 1
-              score += s
-            }
-          },
-          finish = _ =>
-            if (!excluded && mustSeen == nMust && shouldSeen >= mm &&
-              (mustSeen + shouldSeen) > 0) score
-            else Float.NaN)
-      }
   }
 
   /** Decode + score the postings blocks of the given terms.

@@ -116,46 +116,99 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val singleTerm = ids.size == 1
     val kk = k
 
-    val hits = postings
-      .filter(col("term_id").isin(ids: _*))
-      .select(ScoreBlock.cols.map(col): _*) // prunes the positions column
-      .as[ScoreBlock]
-      .mapPartitions { blocks =>
-        val w = bw.value
-        val rest = bRest.value
-        // per-term min-heaps of the k best exact clause scores seen so far
-        val heaps = new scala.collection.mutable.HashMap[Long, java.util.PriorityQueue[java.lang.Float]]()
-        var theta = Double.NegativeInfinity
-        blocks.flatMap { b =>
-          val tw = w(b.term_id)
-          val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
-          if (bound < theta) {
-            skipped.add(1)
-            Iterator.empty
-          } else {
-            scanned.add(1)
-            val heap = heaps.getOrElseUpdate(b.term_id,
-              new java.util.PriorityQueue[java.lang.Float](kk + 1))
-            val (docs, tfs, nbs) = PostingCodec.decode(b)
-            docs.indices.iterator.map { i =>
-              val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
-              if (heap.size < kk) heap.offer(s)
-              else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
-              if (heap.size == kk) {
-                val cand = heap.peek().toDouble
-                if (cand > theta) theta = cand
+    val combined =
+      if (singleTerm) {
+        // single term: score during the scan, no combine, no shuffle
+        val hits = postings
+          .filter(col("term_id").isin(ids: _*))
+          .select(ScoreBlock.cols.map(col): _*)
+          .as[ScoreBlock]
+          .mapPartitions { blocks =>
+            val w = bw.value
+            val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
+            var theta = Double.NegativeInfinity
+            blocks.flatMap { b =>
+              val tw = w(b.term_id)
+              val bound = ubD(tw, b.max_tf, b.max_nb) * slack
+              if (bound < theta) { skipped.add(1); Iterator.empty }
+              else {
+                scanned.add(1)
+                val (docs, tfs, nbs) = PostingCodec.decode(b)
+                docs.indices.iterator.map { i =>
+                  val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
+                  if (heap.size < kk) heap.offer(s)
+                  else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+                  if (heap.size == kk) {
+                    val cand = heap.peek().toDouble
+                    if (cand > theta) theta = cand
+                  }
+                  (docs(i), s)
+                }
               }
-              (docs(i), b.term_id, s)
             }
           }
-        }
-      }
-
-    val combined =
-      if (singleTerm) hits.map(h => (h._1, h._3))
-      else {
-        val empty = spark.sparkContext.broadcast(Set.empty[Long])
-        base.combineHits(hits, empty, empty, nMust = 0, mm = 0)
+        hits
+      } else {
+        // multi-term: prune blocks during the scan (per-term k-heaps of
+        // exact clause scores bound theta), then ship the SURVIVING blocks
+        // packed through the doc-range-bucketed combine (BlockCombine) —
+        // residual postings are re-scored reduce-side in canonical order;
+        // the scan-side decode exists only to grow theta.
+        import graft.codec.ScoreSpanBlock
+        val tiOf: Map[Long, Int] = ids.zipWithIndex.toMap // ids sorted asc
+        val bTi = spark.sparkContext.broadcast(tiOf)
+        val width = PositionalScan.bucketWidth(spark, st.max_doc)
+        val tagged = postings
+          .filter(col("term_id").isin(ids: _*))
+          .select(ScoreSpanBlock.cols.map(col): _*)
+          .as[ScoreSpanBlock]
+          .mapPartitions { blocks =>
+            val w = bw.value
+            val rest = bRest.value
+            val heaps = new scala.collection.mutable.HashMap[Long, java.util.PriorityQueue[java.lang.Float]]()
+            var theta = Double.NegativeInfinity
+            blocks.flatMap { b =>
+              val tw = w(b.term_id)
+              val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
+              if (bound < theta) {
+                skipped.add(1)
+                Iterator.empty
+              } else {
+                scanned.add(1)
+                val heap = heaps.getOrElseUpdate(b.term_id,
+                  new java.util.PriorityQueue[java.lang.Float](kk + 1))
+                val (docs, tfs, nbs) = PostingCodec.decode(
+                  ScoreBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
+                    b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
+                var i = 0
+                while (i < b.cnt) {
+                  val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
+                  if (heap.size < kk) heap.offer(s)
+                  else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+                  if (heap.size == kk) {
+                    val cand = heap.peek().toDouble
+                    if (cand > theta) theta = cand
+                  }
+                  i += 1
+                }
+                val ti = bTi.value(b.term_id)
+                PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+                  BlockCombine.Tagged(bk, 0, ti, b.first_doc, b.cnt,
+                    b.doc_bytes, b.tf_bytes, b.norm_bytes))
+              }
+            }
+          }
+        val scorers: Array[graft.score.Similarity.TermScorer] =
+          ids.map { tid =>
+            val tw = weights(tid)
+            val f: graft.score.Similarity.TermScorer =
+              (tf: Float, nb: Byte) => Bm25.score(tw.weightValue, tf, tw.cache, nb)
+            f
+          }.toArray
+        BlockCombine.combine(spark, tagged, scorers,
+          isMust = Array.fill(ids.size)(false),
+          isNot = Array.fill(ids.size)(false),
+          nMust = 0, mm = 0, width = width)
       }
 
     combined.toDF("doc_id", "score")

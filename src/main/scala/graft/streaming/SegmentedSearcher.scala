@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.codec.{PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import graft.query.Query
 import graft.score.Bm25
@@ -82,60 +81,57 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     }.toMap
     val mustSet = mustD.toSet
 
-    val perSegment: Seq[Dataset[(Long, Int, Float, Boolean, Boolean)]] =
-      parts.map { d =>
-        // this segment's term_id -> (clause, weight, isMust, isNot)
-        val tidMap: Map[Long, (Int, Bm25.TermWeight, Boolean, Boolean)] =
-          (posTerms ++ notTerms).flatMap { t =>
-            dict(t)._2.collect { case (`d`, tid) =>
-              tid -> (clauseIdx.getOrElse(t, -1), weights.getOrElse(t, null),
-                mustSet.contains(t), notTerms.contains(t))
-            }
-          }.toMap
-        if (tidMap.isEmpty) spark.emptyDataset[(Long, Int, Float, Boolean, Boolean)]
-        else {
-          val bm = spark.sparkContext.broadcast(tidMap)
-          spark.read.parquet(s"$d/postings")
-            .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
-            .select(ScoreBlock.cols.map(col): _*)
-            .as[ScoreBlock]
-            .flatMap { blk =>
-              val (docs, tfs, nbs) = PostingCodec.decode(blk)
-              val (clause, w, isMust, isNot) = bm.value(blk.term_id)
-              docs.indices.iterator.map { i =>
-                val s = if (isNot) 0.0f
-                        else Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i))
-                (docs(i), clause, s, isMust, isNot)
-              }
-            }
+    // clause list in canonical order: posTerms (sorted) then MUST_NOT
+    // presence-only clauses — compact ti for the packed combine
+    val allClauses: Seq[String] = posTerms ++ notTerms.filterNot(posTerms.contains)
+    val tiOfTerm: Map[String, Int] = allClauses.zipWithIndex.toMap
+    val scorers: Array[graft.score.Similarity.TermScorer] =
+      allClauses.map { t =>
+        weights.get(t) match {
+          case Some(w) =>
+            val f: graft.score.Similarity.TermScorer =
+              (tf: Float, nb: Byte) => Bm25.score(w.weightValue, tf, w.cache, nb)
+            f
+          case None => null
         }
-      }
-
-    val hits = perSegment.reduce(_ union _)
+      }.toArray
+    val isMust: Array[Boolean] = allClauses.map(mustSet.contains).toArray
+    val isNot: Array[Boolean] = allClauses.map(notTerms.contains).toArray
     val nMust = mustSet.count(dict.contains)
-    // Sorted-shuffle streaming fold (same shape as Searcher.combineHits):
-    // rows arrive sorted by (doc_id, clause), so the float32 accumulation is
-    // in canonical ascending-clause order with no per-doc array.
-    val combined = hits.toDF("doc_id", "clause", "s", "is_must", "is_not")
-      .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id", "clause")
-      .as[(Long, Int, Float, Boolean, Boolean)]
-      .mapPartitions { it =>
-        var mustSeen = 0
-        var shouldSeen = 0
-        var excluded = false
-        var score = 0.0f
-        graft.query.Combine.fold[(Long, Int, Float, Boolean, Boolean)](it, _._1,
-          reset = () => { mustSeen = 0; shouldSeen = 0; excluded = false; score = 0.0f },
-          add = { case (_, _, s, isMust, isNot) =>
-            if (isNot) excluded = true
-            else { if (isMust) mustSeen += 1 else shouldSeen += 1; score += s }
-          },
-          finish = _ =>
-            if (!excluded && mustSeen == nMust && shouldSeen >= mm &&
-              (mustSeen + shouldSeen) > 0) score
-            else Float.NaN)
+    // lead-with-rarest MUST clause (global df), as on the batch path
+    val leadTi: Int =
+      if (nMust > 0) tiOfTerm(mustD.filter(dict.contains).minBy(t => dict(t)._1))
+      else -1
+    val width = graft.query.PositionalScan.bucketWidth(spark, stats.max_doc)
+
+    import graft.codec.ScoreSpanBlock
+    val perSegment: Seq[Dataset[graft.query.BlockCombine.Tagged]] = parts.map { d =>
+      // this segment's term_id -> (ti, isNot)
+      val tidMap: Map[Long, Int] = (posTerms ++ notTerms).flatMap { t =>
+        dict(t)._2.collect { case (`d`, tid) => tid -> tiOfTerm(t) }
+      }.toMap
+      if (tidMap.isEmpty) spark.emptyDataset[graft.query.BlockCombine.Tagged]
+      else {
+        val bm = spark.sparkContext.broadcast(tidMap)
+        val bNot = spark.sparkContext.broadcast(isNot)
+        spark.read.parquet(s"$d/postings")
+          .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
+          .select(ScoreSpanBlock.cols.map(col): _*)
+          .as[ScoreSpanBlock]
+          .flatMap { b =>
+            val ti = bm.value(b.term_id)
+            val rank =
+              if (bNot.value(ti)) 1
+              else if (leadTi < 0) 0
+              else if (ti == leadTi) 0 else 1
+            graft.query.PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+              graft.query.BlockCombine.Tagged(bk, rank, ti, b.first_doc, b.cnt,
+                b.doc_bytes, b.tf_bytes, b.norm_bytes))
+          }
       }
+    }
+    val combined = graft.query.BlockCombine.combine(spark,
+      perSegment.reduce(_ union _), scorers, isMust, isNot, nMust, mm, width)
 
     // liveDocs application: buried docs drop out before the top-k
     val liveOnly =
