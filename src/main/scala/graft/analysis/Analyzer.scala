@@ -109,6 +109,49 @@ object Analyzer extends TextAnalyzer {
 
   @inline private def isJoiner(cp: Int): Boolean = cp == '\'' || cp == '.'
 
+  /** UAX#29 Extend: combining marks glue to the preceding base character
+    * instead of breaking the token (Thai/Lao tone marks, Tibetan subjoined
+    * consonants, Hebrew niqqud, ...).
+    */
+  @inline private def isMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK
+  }
+
+  // Word-break classes mirroring the reference StandardTokenizer's UAX#29
+  // grammar (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Standard/
+  // StandardTokenizerImpl.cs token types; goldens in
+  // Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs):
+  // Han and Hiragana emit ONE token per character (ideograph bigramming is a
+  // downstream filter's job), Katakana / Hangul / Southeast-Asian scripts
+  // emit same-class runs, everything else letter/digit/_ runs.
+  private final val ClsOther = 0
+  private final val ClsAlnum = 1
+  private final val ClsHan = 2
+  private final val ClsHiragana = 3
+  private final val ClsKatakana = 4
+  private final val ClsHangul = 5
+  private final val ClsSeAsian = 6
+
+  private def charClass(cp: Int): Int = {
+    if (cp == '_') ClsAlnum
+    else if (cp == 0x30FC) ClsKatakana // prolonged sound mark (WB: Katakana)
+    else if (!Character.isLetterOrDigit(cp)) ClsOther
+    else if (cp < 0x0E00) ClsAlnum
+    else {
+      import Character.UnicodeScript
+      UnicodeScript.of(cp) match {
+        case UnicodeScript.HAN      => ClsHan
+        case UnicodeScript.HIRAGANA => ClsHiragana
+        case UnicodeScript.KATAKANA => ClsKatakana
+        case UnicodeScript.HANGUL   => ClsHangul
+        case UnicodeScript.THAI | UnicodeScript.LAO | UnicodeScript.MYANMAR |
+             UnicodeScript.KHMER    => ClsSeAsian
+        case _                      => ClsAlnum
+      }
+    }
+  }
+
   /** Raw tokenizer: lowercased token strings in order, >MaxTokenLength dropped
     * as `null` placeholders so callers can track position holes.
     */
@@ -118,16 +161,30 @@ object Analyzer extends TextAnalyzer {
     var i = 0
     while (i < n) {
       val cp = text.codePointAt(i)
-      if (isTokenChar(cp)) {
+      val cls = charClass(cp)
+      if (cls == ClsOther) {
+        i += Character.charCount(cp)
+      } else if (cls == ClsHan || cls == ClsHiragana) {
+        // single-character token (IDEOGRAPHIC / HIRAGANA)
+        val sb = new java.lang.StringBuilder()
+        sb.appendCodePoint(cp)
+        out += sb.toString
+        i += Character.charCount(cp)
+      } else {
         val sb = new java.lang.StringBuilder()
         var j = i
         var continue = true
         while (continue && j < n) {
           val c = text.codePointAt(j)
-          if (isTokenChar(c)) {
+          val cc = charClass(c)
+          if (cc == cls) {
             sb.appendCodePoint(Character.toLowerCase(c))
             j += Character.charCount(c)
-          } else if (isJoiner(c) && j + 1 < n && isTokenChar(text.codePointAt(j + 1))) {
+          } else if (isMark(c) && sb.length() > 0) {
+            sb.appendCodePoint(c) // Extend: glue combining marks to the base
+            j += Character.charCount(c)
+          } else if (cls == ClsAlnum && isJoiner(c) && j + 1 < n &&
+            charClass(text.codePointAt(j + 1)) == ClsAlnum) {
             sb.appendCodePoint(c)
             j += 1
           } else {
@@ -136,8 +193,6 @@ object Analyzer extends TextAnalyzer {
         }
         out += (if (sb.length() > MaxTokenLength) null else sb.toString)
         i = j
-      } else {
-        i += Character.charCount(cp)
       }
     }
     out

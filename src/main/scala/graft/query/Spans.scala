@@ -23,6 +23,7 @@ object Spans {
       case SpanTerm(t)          => Set(t)
       case SpanNear(a, b, _, _) => a.terms ++ b.terms
       case SpanNearK(cs, _)     => cs.flatMap(_.terms).toSet
+      case SpanNearUnorderedK(cs, _) => cs.flatMap(_.terms).toSet
       case SpanOr(cs)           => cs.flatMap(_.terms).toSet
       case SpanNot(i, e)        => i.terms ++ e.terms
       case SpanFirst(q, _)      => q.terms
@@ -37,6 +38,14 @@ object Spans {
     * (end_last - start_first - Σ lengths <= slop).
     */
   final case class SpanNearK(clauses: Seq[SpanQuery], slop: Int) extends SpanQuery
+  /** k-ary UNORDERED near — the NearSpansUnordered CellQueue walk
+    * (/root/reference/src/Lucene.Net/Search/Spans/NearSpansUnordered.cs:385):
+    * one cursor per clause, match when
+    * `maxEnd - minStart - Σ currentLengths <= slop` (overlapping sub-spans
+    * ARE permitted — the documented 4.x unordered quirk), emitting
+    * (minStart, maxEnd) and advancing the minimum cursor each step.
+    */
+  final case class SpanNearUnorderedK(clauses: Seq[SpanQuery], slop: Int) extends SpanQuery
   final case class SpanOr(clauses: Seq[SpanQuery]) extends SpanQuery
   final case class SpanNot(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
   final case class SpanFirst(query: SpanQuery, end: Int) extends SpanQuery
@@ -76,6 +85,36 @@ object Spans {
               rec(i + 1, firstStart, s._2, lenSum + (s._2 - s._1))
           }
         sub.head.foreach(s => rec(1, s._1, s._2, s._2 - s._1))
+        out.distinct.sorted.toSeq
+      }
+    case SpanNearUnorderedK(cs, slop) =>
+      require(cs.size >= 2, "SpanNearUnorderedK needs >= 2 clauses")
+      val sub: Seq[Array[(Int, Int)]] = cs.map(eval(_, tp).toArray)
+      if (sub.exists(_.isEmpty)) Nil
+      else {
+        // CellQueue walk: frontier of one span per clause ordered by
+        // (start, end); test, emit, advance the minimum — overlaps allowed
+        val ptr = new Array[Int](sub.size)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var more = true
+        while (more) {
+          var minI = 0
+          var maxEnd = Int.MinValue
+          var totLen = 0
+          var i = 0
+          while (i < sub.length) {
+            val s = sub(i)(ptr(i))
+            totLen += s._2 - s._1
+            if (s._2 > maxEnd) maxEnd = s._2
+            val m = sub(minI)(ptr(minI))
+            if (s._1 < m._1 || (s._1 == m._1 && s._2 < m._2)) minI = i
+            i += 1
+          }
+          val minS = sub(minI)(ptr(minI))
+          if (maxEnd - minS._1 - totLen <= slop) out += ((minS._1, maxEnd))
+          ptr(minI) += 1
+          if (ptr(minI) >= sub(minI).length) more = false
+        }
         out.distinct.sorted.toSeq
       }
     case SpanNot(inc, exc) =>

@@ -54,6 +54,57 @@ object ClassicSimilarity extends Similarity {
   }
 }
 
+/** Divergence-from-randomness, the I(F)L2 combination — BasicModelIF +
+  * AfterEffectL + NormalizationH2
+  * (/root/reference/src/Lucene.Net/Search/Similarities/DFRSimilarity.cs:121-124:
+  * score = boost * basicModel(tfn) * afterEffect(tfn);
+  * BasicModelIF.cs:39: tfn * log2(1 + (N+1)/(F+0.5));
+  * AfterEffectL.cs:35: 1/(tfn+1);
+  * NormalizationH2.cs:55: tfn = tf * log2(1 + c * avgFl / dl)).
+  * Doc length decodes from the norm byte exactly as SimilarityBase does
+  * (NORM_TABLE = 1/decodedNorm^2 — our [[Bm25.NormTable]]).
+  */
+final case class DFRSimilarity(c: Float = 1.0f) extends Similarity {
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val n = stats.max_doc
+    val f = if (ttf > 0) ttf else df + 1 // BasicStats TotalTermFreq fallback
+    val avgFl =
+      if (stats.sum_ttf <= 0) 1.0f
+      else (stats.sum_ttf / stats.max_doc.toDouble).toFloat
+    val basic = log2(1.0 + (n + 1.0) / (f + 0.5)).toFloat
+    (tf: Float, nb: Byte) => {
+      val dl = Bm25.NormTable(nb & 0xff)
+      val tfn = (tf * log2(1.0 + c * avgFl / dl)).toFloat
+      boost * (tfn * basic) * (1.0f / (tfn + 1.0f))
+    }
+  }
+}
+
+/** Information-based model, the LL/DF/H2 combination — DistributionLL +
+  * LambdaDF + NormalizationH2
+  * (/root/reference/src/Lucene.Net/Search/Similarities/IBSimilarity.cs:113-115:
+  * score = boost * distribution(tfn, lambda);
+  * DistributionLL.cs: -log(lambda/(tfn+lambda));
+  * LambdaDF.cs: (df+1)/(N+1)).
+  */
+final case class IBSimilarity(c: Float = 1.0f) extends Similarity {
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val lambda = (df + 1.0f) / (stats.max_doc + 1.0f)
+    val avgFl =
+      if (stats.sum_ttf <= 0) 1.0f
+      else (stats.sum_ttf / stats.max_doc.toDouble).toFloat
+    (tf: Float, nb: Byte) => {
+      val dl = Bm25.NormTable(nb & 0xff)
+      val tfn = (tf * log2(1.0 + c * avgFl / dl)).toFloat
+      boost * (-math.log(lambda / (tfn + lambda))).toFloat
+    }
+  }
+}
+
 /** Dirichlet-smoothed query-likelihood language model
   * (LMDirichletSimilarity semantics,
   * /root/reference/src/Lucene.Net/Search/Similarities/LMDirichletSimilarity.cs;

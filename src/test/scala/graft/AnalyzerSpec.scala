@@ -28,6 +28,35 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.terms("O'Neil").toSeq == Seq("o'neil"))
   }
 
+  test("UAX#29 script classes: CJK + SE-Asian goldens (TestStandardAnalyzer.cs)") {
+    // Chinese: one token per ideograph; fullwidth digits/letters are ALNUM
+    // (TestStandardAnalyzer.cs TestChinese)
+    assert(Analyzer.terms("我是中国人。 １２３４ Ｔｅｓｔｓ").toSeq ==
+      Seq("我", "是", "中", "国", "人", "１２３４", "ｔｅｓｔｓ"))
+    // supplementary-plane ideographs stay single (TestKorean/TestJapanese area)
+    assert(Analyzer.terms("𩬅艱鍟䇹愯瀛").toSeq ==
+      Seq("𩬅", "艱", "鍟", "䇹", "愯", "瀛"))
+    // Korean: Hangul runs hold together (TestKorean)
+    assert(Analyzer.terms("훈민정음").toSeq == Seq("훈민정음"))
+    // Japanese: Han/Hiragana single chars, Katakana runs (TestJapanese)
+    assert(Analyzer.terms("仮名遣い カタカナ").toSeq ==
+      Seq("仮", "名", "遣", "い", "カタカナ"))
+    // prolonged sound mark stays inside a katakana run
+    assert(Analyzer.terms("コーヒー 珈琲").toSeq == Seq("コーヒー", "珈", "琲"))
+    // Thai: tone marks are Extend (no break); Thai digits run (TestThai)
+    assert(Analyzer.terms("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔").toSeq ==
+      Seq("การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔"))
+    // Lao (TestLao)
+    assert(Analyzer.terms("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ").toSeq ==
+      Seq("ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ"))
+    // Tibetan: subjoined consonants glue, tsheg breaks (TestTibetan)
+    assert(Analyzer.terms("སྣོན་མཛོད་དང་ལས་འདིས་").toSeq ==
+      Seq("སྣོན", "མཛོད", "དང", "ལས", "འདིས"))
+    // script boundaries split even without spaces
+    assert(Analyzer.terms("latin漢字かなカナ한글").toSeq ==
+      Seq("latin", "漢", "字", "か", "な", "カナ", "한글"))
+  }
+
   test("termFreqs counts only emitted tokens (norm length contract)") {
     val (tf, len) = Analyzer.termFreqs("the cat and the cat sat on a MAT " + ("y" * 300))
     assert(tf == scala.collection.mutable.HashMap("cat" -> 2, "sat" -> 1, "mat" -> 1))

@@ -6,7 +6,8 @@ import graft.fixtures.Transcripts
 import graft.model.CollectionStats
 import graft.oracle.BruteForce
 import graft.query.{Query, Searcher}
-import graft.score.{Bm25, Bm25Similarity, ClassicSimilarity, LMDirichletSimilarity}
+import graft.score.{Bm25, Bm25Similarity, ClassicSimilarity, DFRSimilarity,
+  IBSimilarity, LMDirichletSimilarity}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -49,12 +50,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rare.score(0.001f, SmallFloat.encodeNorm(100000)) >= 0f)
   }
 
+  test("DFR I(F)L2 closed form (DFRSimilarity.cs:121, BasicModelIF, AfterEffectL, NormalizationH2)") {
+    val sim = DFRSimilarity()
+    val s = sim.termScorer(df = 5, ttf = 50, stats, boost = 2.0f)
+    val nb = SmallFloat.encodeNorm(16)
+    val dl = Bm25.NormTable(nb & 0xff)
+    val avgFl = (1000.0 / 100.0).toFloat
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val tfn = (3f * log2(1.0 + avgFl / dl)).toFloat
+    val basic = log2(1.0 + 101.0 / 50.5).toFloat
+    assert(s.score(3f, nb) == 2.0f * (tfn * basic) * (1.0f / (tfn + 1.0f)))
+    assert(s.score(6f, nb) > s.score(3f, nb)) // monotone in tf
+    // rarer term scores higher at equal tf (smaller F)
+    val rare = sim.termScorer(df = 1, ttf = 2, stats, boost = 2.0f)
+    assert(rare.score(3f, nb) > s.score(3f, nb))
+  }
+
+  test("IB LL/DF/H2 closed form (IBSimilarity.cs:113, DistributionLL, LambdaDF)") {
+    val sim = IBSimilarity()
+    val s = sim.termScorer(df = 5, ttf = 50, stats, boost = 1.0f)
+    val nb = SmallFloat.encodeNorm(16)
+    val dl = Bm25.NormTable(nb & 0xff)
+    val avgFl = (1000.0 / 100.0).toFloat
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val tfn = (2f * log2(1.0 + avgFl / dl)).toFloat
+    val lambda = 6.0f / 101.0f
+    assert(s.score(2f, nb) == (-math.log(lambda / (tfn + lambda))).toFloat)
+    assert(s.score(4f, nb) > s.score(2f, nb))
+    // rarer term (smaller lambda) scores higher at equal tf
+    val rare = sim.termScorer(df = 1, ttf = 2, stats, boost = 1.0f)
+    assert(rare.score(2f, nb) > s.score(2f, nb))
+  }
+
   test("alternate similarities: distributed engine == oracle on a real index") {
     val dir = Files.createTempDirectory("graft_sim").toString
     IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 120), dir)
     val turns = Transcripts.local(120).sortBy(t => (t.conv_id, t.turn_idx))
       .zipWithIndex.map { case (t, i) => (i.toLong, t.text) }
-    for (sim <- Seq(ClassicSimilarity, LMDirichletSimilarity())) {
+    for (sim <- Seq(ClassicSimilarity, LMDirichletSimilarity(),
+      DFRSimilarity(), IBSimilarity())) {
       val searcher = new Searcher(spark, dir, sim)
       val oracle = new BruteForce(turns, sim)
       for (q <- Seq(Query.Term("time"), Query.parse("time person"),

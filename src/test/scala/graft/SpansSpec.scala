@@ -67,6 +67,28 @@ class SpansSpec extends AnyFunSuite {
       Seq((1, 4)))
   }
 
+  test("k-ary unordered near: CellQueue walk, overlaps allowed") {
+    // tp2: a@0,10  b@2  c@4
+    val tp2 = Map("a" -> Array(0, 10), "b" -> Array(2), "c" -> Array(4))
+    val q = SpanNearUnorderedK(Seq(SpanTerm("a"), SpanTerm("b"), SpanTerm("c")), 4)
+    // frontier {a@0,b@2,c@4}: 5-0-3=2 <= 4 -> (0,5); advance a -> 11-2-3=6 > 4
+    assert(eval(q, tp2) == Seq((0, 5)))
+    // slop 6 admits the second frontier (2,11)
+    assert(eval(SpanNearUnorderedK(
+      Seq(SpanTerm("a"), SpanTerm("b"), SpanTerm("c")), 6), tp2) ==
+      Seq((0, 5), (2, 11)))
+    // order-free: clauses given in reverse find the same spans
+    assert(eval(SpanNearUnorderedK(
+      Seq(SpanTerm("c"), SpanTerm("b"), SpanTerm("a")), 4), tp2) == Seq((0, 5)))
+    // the 4.x quirk: co-positioned sub-spans overlap and still match at slop 0
+    // (NearSpansUnordered.cs:385 — matchLength goes negative)
+    val tp3 = Map("x" -> Array(3), "y" -> Array(3))
+    assert(eval(SpanNearUnorderedK(Seq(SpanTerm("x"), SpanTerm("y")), 0), tp3) ==
+      Seq((3, 4)))
+    // missing clause -> no matches
+    assert(eval(SpanNearUnorderedK(Seq(SpanTerm("a"), SpanTerm("zz")), 9), tp2) == Nil)
+  }
+
   test("nested composition: near over or") {
     val q = SpanNear(SpanOr(Seq(SpanTerm("a"), SpanTerm("c"))), SpanTerm("d"), 1,
       inOrder = true)
