@@ -65,7 +65,6 @@ final class MemoryIndex(text: String, analyzer: TextAnalyzer = Analyzer) {
       }
       c.toFloat
     } else {
-      require(p.terms.distinct.size == p.terms.size, "sloppy phrase needs distinct terms")
       SloppyPhrase.freq(cp.toArray, p.slop)
     }
   }

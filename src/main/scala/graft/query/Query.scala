@@ -41,12 +41,13 @@ object Query {
     * slop = 0 is the reference's exact phrase (conjunction + position
     * alignment, freq = number of alignments,
     * /root/reference/src/Lucene.Net/Search/ExactPhraseScorer.cs:237-349).
-    * slop > 0 (any arity, distinct terms) runs the reference's window walk
+    * slop > 0 (any arity, repeats included) runs the reference's window walk
     * (see [[SloppyPhrase]]): minimal windows scored SloppyFreq =
     * 1/(matchLength+1)
     * (/root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77,
-    * match loop SloppyPhraseScorer.cs). Repeating terms in a sloppy phrase
-    * (the reference's repetition machinery) are not supported.
+    * match loop + repetition machinery SloppyPhraseScorer.cs; goldens
+    * TestSloppyPhraseQuery.cs). Multi-term (MultiPhrase) sloppy slots stay
+    * unsupported.
     */
   final case class Phrase(terms: Seq[String], slop: Int = 0,
                           boost: Float = 1.0f) extends Query

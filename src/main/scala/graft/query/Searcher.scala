@@ -272,9 +272,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
                                k: Int): DataFrame = {
     import graft.codec.PosSpanBlock
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || (slots.forall(_.size == 1) &&
-      slots.flatten.distinct.size == slots.size),
-      "sloppy phrase needs distinct single terms per slot")
+    require(slop == 0 || slots.forall(_.size == 1),
+      "sloppy phrase needs single-term slots (multi-term sloppy unsupported)")
     val dict = lookup(slots.flatten.distinct)
     // alternatives absent from the dictionary drop out; an empty slot
     // matches nothing (MultiPhraseQuery semantics)

@@ -1,23 +1,49 @@
 package graft.query
 
-/** Reference-faithful sloppy phrase frequency for NON-REPEATING phrase terms
-  * — a per-document transliteration of the 4.8 scorer's match loop
-  * (behavior contract: /root/reference/src/Lucene.Net/Search/SloppyPhraseScorer.cs
-  * PhraseFreq; slop factor SloppyFreq = 1/(distance+1),
-  * /root/reference/src/Lucene.Net/Search/Similarities/BM25Similarity.cs:74-77):
+/** Reference-faithful sloppy phrase frequency — a per-document
+  * transliteration of the 4.8 scorer's match loop INCLUDING the repetition
+  * machinery (behavior contract:
+  * /root/reference/src/Lucene.Net/Search/SloppyPhraseScorer.cs PhraseFreq /
+  * AdvanceRpts / AdvanceRepeatGroups; slop factor SloppyFreq =
+  * 1/(distance+1), .../Similarities/BM25Similarity.cs:74-77; queue order
+  * (position, offset), .../Search/PhraseQueue.cs:29-49):
   *
-  * each slot's positions are offset by its phrase index ("adjusted"
-  * positions); a min-heap of per-slot cursors repeatedly advances the
-  * smallest cursor, closing the window (end = max adjusted position seen);
-  * every time the advanced cursor overtakes the next-smallest, the minimal
-  * window ending at the previous configuration is scored if its length
-  * (end - start) is within the slop, accumulating 1/(1+matchLength) in
-  * discovery order (float, deterministic).
+  *  - each slot's positions are offset by its phrase index ("adjusted"
+  *    positions: position = rawPos - offset); a priority queue of per-slot
+  *    cursors repeatedly advances the smallest, closing the window
+  *    (end = max adjusted position seen); every time the advanced cursor
+  *    overtakes the next-smallest, the minimal window at the previous
+  *    configuration is scored if its length (end - start) is within the
+  *    slop, accumulating 1/(1+matchLength) in discovery order.
+  *  - REPEATS (the same term in several slots — "A A A", "my ho my"):
+  *    slots of one term form a repetition group (their raw position lists
+  *    are identical — one token per position). At init, group member j is
+  *    pre-advanced j times so no two members share a raw position
+  *    (AdvanceRepeatGroups, single-term case); after every cursor advance,
+  *    collisions (two group members at one raw position) resolve by
+  *    advancing the LESSER of the pair until none remain, re-heapifying
+  *    the affected queue entries (AdvanceRpts/Collide/Lesser). Multi-term
+  *    repeats (overlapping MultiPhrase slots) stay unsupported — callers
+  *    require single-term slots for slop > 0.
   *
-  * The reference's repetition machinery (the same term in several slots) is
-  * not implemented — callers require distinct slot terms for slop > 0.
+  * Goldens: Lucene.Net.Tests/Search/TestSloppyPhraseQuery.cs (DOC_1..DOC_5
+  * match/no-match tables, LUCENE-1310 / LUCENE-3412 regressions).
   */
 object SloppyPhrase {
+
+  private final class PP(val positions: Array[Int], val offset: Int) {
+    var idx: Int = 0
+    var position: Int = 0 // adjusted: positions(idx) - offset
+    var rptGroup: Int = -1
+    var rptInd: Int = 0
+    def firstPosition(): Unit = { idx = 0; position = positions(0) - offset }
+    def nextPosition(): Boolean = {
+      idx += 1
+      if (idx < positions.length) { position = positions(idx) - offset; true }
+      else false
+    }
+    def tpPos: Int = position + offset // raw term position
+  }
 
   /** @param slotPositions per-slot RAW sorted positions (slot i matched at
     *                      raw position p contributes adjusted position p - i)
@@ -25,56 +51,125 @@ object SloppyPhrase {
     */
   def freq(slotPositions: Array[Array[Int]], slop: Int): Float = {
     val k = slotPositions.length
-    if (slotPositions.exists(_.isEmpty)) return 0.0f
-    // adjusted-position cursors
-    val pos = new Array[Int](k)    // current adjusted position per slot
-    val idx = new Array[Int](k)    // cursor index per slot
-    var end = Int.MinValue
-    var i = 0
-    while (i < k) {
-      pos(i) = slotPositions(i)(0) - i
-      if (pos(i) > end) end = pos(i)
-      i += 1
+    if (k == 0 || slotPositions.exists(_.isEmpty)) return 0.0f
+    val pps = Array.tabulate(k)(i => new PP(slotPositions(i), i))
+
+    // repetition groups: slots of the same term carry identical raw
+    // position lists (a position holds exactly one token), so content
+    // equality identifies the groups; members are in ascending offset.
+    val byList = scala.collection.mutable.LinkedHashMap[Seq[Int], List[Int]]()
+    pps.foreach { pp =>
+      val key = pp.positions.toSeq
+      byList(key) = byList.getOrElse(key, Nil) :+ pp.offset
     }
-    // tiny k: the "priority queue" is a linear scan over k cursors
-    def minSlot(): Int = {
-      var m = 0
+    val rptGroups: Array[Array[PP]] =
+      byList.values.filter(_.size >= 2).map(_.map(pps(_)).toArray).toArray
+    rptGroups.zipWithIndex.foreach { case (rg, g) =>
+      rg.zipWithIndex.foreach { case (pp, i) => pp.rptGroup = g; pp.rptInd = i }
+    }
+    val hasRpts = rptGroups.nonEmpty
+
+    // PlaceFirstPositions + AdvanceRepeatGroups (single-term case: member j
+    // pre-advances j times, establishing the no-collision start state)
+    pps.foreach(_.firstPosition())
+    var g = 0
+    while (g < rptGroups.length) {
+      val rg = rptGroups(g)
       var j = 1
-      while (j < k) { if (pos(j) < pos(m)) m = j; j += 1 }
-      m
-    }
-    def secondMinValue(excl: Int): Int = {
-      var v = Int.MaxValue
-      var j = 0
-      while (j < k) { if (j != excl && pos(j) < v) v = pos(j); j += 1 }
-      v
-    }
-    var freq = 0.0f
-    var pp = minSlot()
-    var matchLength = end - pos(pp)
-    var next = secondMinValue(pp)
-    var alive = true
-    while (alive) {
-      // advance pp's cursor
-      idx(pp) += 1
-      if (idx(pp) >= slotPositions(pp).length) alive = false
-      else {
-        pos(pp) = slotPositions(pp)(idx(pp)) - pp
-        if (pos(pp) > end) end = pos(pp)
-        if (pos(pp) > next) {
-          // done minimizing the current window
-          if (matchLength <= slop) freq += 1.0f / (1 + matchLength)
-          pp = minSlot()
-          next = secondMinValue(pp)
-          matchLength = end - pos(pp)
-        } else {
-          val m2 = end - pos(pp)
-          if (m2 < matchLength) matchLength = m2
-          // pp remains the minimum cursor (pos <= next)
+      while (j < rg.length) {
+        var c = 0
+        while (c < j) {
+          if (!rg(j).nextPosition()) return 0.0f
+          c += 1
         }
+        j += 1
+      }
+      g += 1
+    }
+
+    // FillQueue: order (position, offset) — PhraseQueue.cs:29-49
+    val pq = new java.util.PriorityQueue[PP](k,
+      (a: PP, b: PP) =>
+        if (a.position != b.position) Integer.compare(a.position, b.position)
+        else Integer.compare(a.offset, b.offset))
+    var end = Int.MinValue
+    pps.foreach { pp =>
+      if (pp.position > end) end = pp.position
+      pq.add(pp)
+    }
+
+    def advancePP(pp: PP): Boolean =
+      if (!pp.nextPosition()) false
+      else { if (pp.position > end) end = pp.position; true }
+
+    def collide(pp: PP): Int = {
+      val rg = rptGroups(pp.rptGroup)
+      val t = pp.tpPos
+      var i = 0
+      while (i < rg.length) {
+        val pp2 = rg(i)
+        if ((pp2 ne pp) && pp2.tpPos == t) return pp2.rptInd
+        i += 1
+      }
+      -1
+    }
+
+    def lesser(a: PP, b: PP): PP =
+      if (a.position < b.position ||
+        (a.position == b.position && a.offset < b.offset)) a else b
+
+    val rptStack = new Array[PP](k)
+    // pp was just advanced; resolve any collision by advancing the lesser of
+    // the colliding pair until clear, then re-heapify affected queue entries
+    def advanceRpts(pp0: PP): Boolean = {
+      if (pp0.rptGroup < 0) return true
+      var pp = pp0
+      val rg = rptGroups(pp.rptGroup)
+      val bits = new java.util.BitSet(rg.length)
+      val k0 = pp.rptInd
+      var kk = collide(pp)
+      while (kk >= 0) {
+        pp = lesser(pp, rg(kk))
+        if (!advancePP(pp)) return false
+        if (kk != k0) bits.set(kk) // mark queue entries needing re-heap
+        kk = collide(pp)
+      }
+      var n = 0
+      while (bits.cardinality() > 0) {
+        val pp2 = pq.poll()
+        rptStack(n) = pp2
+        n += 1
+        if (pp2.rptGroup >= 0 && pp2.rptInd < rg.length && bits.get(pp2.rptInd))
+          bits.clear(pp2.rptInd)
+      }
+      var i = n - 1
+      while (i >= 0) { pq.add(rptStack(i)); i -= 1 }
+      true
+    }
+
+    // PhraseFreq walk
+    var freqAcc = 0.0f
+    var pp = pq.poll()
+    var matchLength = end - pp.position
+    var next = pq.peek().position
+    var walking = true
+    while (walking && advancePP(pp)) {
+      if (hasRpts && !advanceRpts(pp)) {
+        walking = false // pps exhausted mid-collision
+      } else if (pp.position > next) { // done minimizing current match length
+        if (matchLength <= slop) freqAcc += 1.0f / (1 + matchLength)
+        pq.add(pp)
+        pp = pq.poll()
+        next = pq.peek().position
+        matchLength = end - pp.position
+      } else {
+        val m2 = end - pp.position
+        if (m2 < matchLength) matchLength = m2
       }
     }
-    if (matchLength <= slop) freq += 1.0f / (1 + matchLength)
-    freq
+    // the tail window scores whether the loop drained (AdvancePP false) or
+    // broke on exhausted repeats — same as the reference's post-loop check
+    if (matchLength <= slop) freqAcc += 1.0f / (1 + matchLength)
+    freqAcc
   }
 }

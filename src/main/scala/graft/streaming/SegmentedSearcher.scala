@@ -156,8 +156,6 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
   private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
     import graft.codec.PosSpanBlock
     import graft.query.PositionalScan
-    require(p.slop == 0 || p.terms.distinct.size == p.terms.size,
-      "sloppy phrase needs distinct terms")
     val dict = lookup(p.terms.distinct)
     if (p.terms.exists(t => !dict.contains(t)))
       return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")

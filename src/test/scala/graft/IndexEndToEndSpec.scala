@@ -115,6 +115,9 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.Phrase(Seq("person", "time"), slop = 2))      // transposed
     check(Query.Phrase(Seq("time", "person", "year"), slop = 4)) // 3-term sloppy
     check(Query.Phrase(Seq("spark", "index", "search"), slop = 2))
+    // repeating terms: the SloppyPhraseScorer repetition machinery
+    check(Query.Phrase(Seq("time", "time"), slop = 3))
+    check(Query.Phrase(Seq("time", "person", "time"), slop = 4))
     // boosted phrase
     check(Query.Phrase(Seq("time", "person"), boost = 2.0f))
   }

@@ -51,4 +51,72 @@ class SloppyPhraseSpec extends AnyFunSuite {
   test("empty slot matches nothing") {
     assert(f(5, Array(0), Array.emptyIntArray) == 0.0f)
   }
+
+  // ---- repetition machinery: goldens from TestSloppyPhraseQuery.cs --------
+
+  /** Whitespace-doc helper: per query slot, the raw positions of its term. */
+  private def slots(doc: String, query: String): Array[Array[Int]] = {
+    val toks = doc.split(" ")
+    val posOf: Map[String, Array[Int]] =
+      toks.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    query.split(" ").map(t => posOf.getOrElse(t, Array.emptyIntArray))
+  }
+  private val Doc1 = "X A A A Y"                      // S_1 wrapped
+  private val Doc1B = "X A A A Y N N N N A A A Z"
+  private val Doc2 = "X A 1 2 3 A 4 5 6 A Y"          // S_2 wrapped
+  private val Doc2B = "X A 1 2 3 A 4 5 6 A Y N N N N A 1 2 3 A 4 5 6 A Z"
+  private val Doc3 = "X A A A A Y"
+  private val Doc3B = "X A A A A Y N N N N A A A A Y"
+  private val Doc4 = "A A X A X B A X B B A A X B A A"
+
+  test("repeats: Doc4/\"X A A\" — slop 0 no match, any slop >= 1 matches (TestDoc4_Query4)") {
+    assert(f(0, slots(Doc4, "X A A"): _*) == 0.0f)
+    for (slop <- 1 until 30)
+      assert(f(slop, slots(Doc4, "X A A"): _*) > 0.0f, s"slop=$slop")
+  }
+
+  test("repeats: Doc1/\"A A A\" matches at every slop incl. 1 (LUCENE-1310)") {
+    for (slop <- 0 until 30) {
+      val f1 = f(slop, slots(Doc1, "A A A"): _*)
+      val f2 = f(slop, slots(Doc1B, "A A A"): _*)
+      assert(f1 > 0.0f, s"slop=$slop")
+      assert(f2 > f1, s"slop=$slop: doubled doc must score higher")
+    }
+  }
+
+  test("repeats: Doc2/\"A A A\" needs slop >= 6 (TestDoc2_Query1)") {
+    for (slop <- 0 until 30) {
+      val f1 = f(slop, slots(Doc2, "A A A"): _*)
+      if (slop < 6) assert(f1 == 0.0f, s"slop=$slop")
+      else {
+        assert(f1 > 0.0f, s"slop=$slop")
+        assert(f(slop, slots(Doc2B, "A A A"): _*) > f1, s"slop=$slop")
+      }
+    }
+  }
+
+  test("repeats: Doc2/\"A 1 2 3 A 4 5 6 A\" exact text matches at every slop (TestDoc2_Query2)") {
+    for (slop <- 0 until 30) {
+      val f1 = f(slop, slots(Doc2, "A 1 2 3 A 4 5 6 A"): _*)
+      assert(f1 > 0.0f, s"slop=$slop")
+      assert(f(slop, slots(Doc2B, "A 1 2 3 A 4 5 6 A"): _*) > f1, s"slop=$slop")
+    }
+  }
+
+  test("repeats: Doc3/\"A A A\" with an extra A matches at every slop (TestDoc3_Query1)") {
+    for (slop <- 0 until 30) {
+      val f1 = f(slop, slots(Doc3, "A A A"): _*)
+      assert(f1 > 0.0f, s"slop=$slop")
+      assert(f(slop, slots(Doc3B, "A A A"): _*) > f1, s"slop=$slop")
+    }
+  }
+
+  test("repeats: \"H H H H\" needs four H's — never three (LUCENE-3412)") {
+    val doc54 = "H H H H"
+    val doc53 = "H H H X X X H H H X X X H H H"
+    for (slop <- 0 until 3) {
+      assert(f(slop, slots(doc54, "H H H H"): _*) > 0.0f, s"slop=$slop")
+      assert(f(slop, slots(doc53, "H H H H"): _*) == 0.0f, s"slop=$slop")
+    }
+  }
 }
