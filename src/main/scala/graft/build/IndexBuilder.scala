@@ -453,27 +453,32 @@ object IndexBuilder {
       override def next(): PostingBlock = {
         if (!pending.hasNext) {
           val tid = buf.head.term_id
-          val docs = new mutable.ArrayBuffer[Long]()
-          val tfs = new mutable.ArrayBuffer[Int]()
-          val norms = new mutable.ArrayBuffer[Byte]()
+          // streaming decode into PRIMITIVE builders (no per-term row
+          // buffering, and no boxed element churn — a hot term holds
+          // millions of postings, and boxed buffers/orderings here were
+          // measurable 4-thread-side GC pressure). DOCS_AND_FREQS runs
+          // carry no positions; a mixed merge drops them for the term.
+          val docsB = new mutable.ArrayBuilder.ofLong
+          val tfsB = new mutable.ArrayBuilder.ofInt
+          val normsB = new mutable.ArrayBuilder.ofByte
           val poss = new mutable.ArrayBuffer[Array[Int]]()
-          // streaming decode (no per-term row buffering — allocation here is
-          // 4-thread-side GC pressure). DOCS_AND_FREQS runs carry no
-          // positions; a mixed merge drops them for the term.
           var hasPos = true
           while (buf.hasNext && buf.head.term_id == tid) {
             val r = buf.next()
             val (d, t, n) = decodeRun(
               Run(-1, "", r.first_doc, r.last_doc, r.cnt, r.sum_tf, r.max_tf,
                 r.max_nb, r.doc_bytes, r.tf_bytes, r.norm_bytes, r.pos_bytes))
-            docs ++= d
-            tfs ++= t
-            norms ++= n
+            docsB ++= d
+            tfsB ++= t
+            normsB ++= n
             if (hasPos) {
               if (r.cnt > 0 && r.pos_bytes.isEmpty) { hasPos = false; poss.clear() }
               else poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
             }
           }
+          val docs = docsB.result()
+          val tfs = tfsB.result()
+          val norms = normsB.result()
           val n = docs.length
           val idx = Array.range(0, n)
           val impact = new Array[Float](n)
@@ -482,11 +487,12 @@ object IndexBuilder {
             impact(i) = graft.score.Bm25.score(1.0f, tfs(i).toFloat, impactCache, norms(i))
             i += 1
           }
-          val sortedIdx = idx.sortWith { (a, b) =>
-            if (impact(a) != impact(b)) impact(a) > impact(b) else docs(a) < docs(b)
-          }
-          pending = sortedIdx.iterator.grouped(PostingCodec.BlockSize).flatMap { chunk =>
-            val byDoc = chunk.toArray.sortBy(docs(_))
+          // primitive in-place sort (docs unique per term => total order)
+          sortIdx(idx, (a, b) =>
+            if (impact(a) != impact(b)) impact(a) > impact(b) else docs(a) < docs(b))
+          pending = idx.iterator.grouped(PostingCodec.BlockSize).flatMap { chunk =>
+            val byDoc = chunk.toArray
+            sortIdx(byDoc, (a, b) => docs(a) < docs(b))
             PostingCodec.encodeRun(tid,
               byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)),
               if (hasPos) byDoc.map(poss(_)) else null)
@@ -495,5 +501,42 @@ object IndexBuilder {
         pending.next()
       }
     }
+  }
+
+  /** In-place quicksort of an index array under a strict total order `lt`
+    * (median-of-three pivot, insertion sort below 16) — no boxing, unlike
+    * `Array[Int].sortWith`, which routes through an Object[] merge sort.
+    */
+  private[build] def sortIdx(a: Array[Int], lt: (Int, Int) => Boolean): Unit = {
+    def swap(i: Int, j: Int): Unit = { val t = a(i); a(i) = a(j); a(j) = t }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val v = a(i)
+          var j = i - 1
+          while (j >= lo && lt(v, a(j))) { a(j + 1) = a(j); j -= 1 }
+          a(j + 1) = v
+          i += 1
+        }
+      } else {
+        val mid = lo + ((hi - lo) >>> 1)
+        // median-of-three to a(lo)
+        if (lt(a(mid), a(lo))) swap(mid, lo)
+        if (lt(a(hi), a(lo))) swap(hi, lo)
+        if (lt(a(hi), a(mid))) swap(hi, mid)
+        val pivot = a(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (lt(a(i), pivot)) i += 1
+          while (lt(pivot, a(j))) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (a.length > 1) sort(0, a.length - 1)
   }
 }

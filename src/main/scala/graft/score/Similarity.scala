@@ -105,6 +105,23 @@ final case class IBSimilarity(c: Float = 1.0f) extends Similarity {
   }
 }
 
+/** Jelinek-Mercer-smoothed query-likelihood language model
+  * (/root/reference/src/Lucene.Net/Search/Similarities/LMJelinekMercerSimilarity.cs:
+  * score = boost * log(1 + ((1-lambda) * tf/dl) / (lambda * P(w|C)));
+  * reference default lambda documented 0.1 for short queries, 0.7 long).
+  */
+final case class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends Similarity {
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val pwc = (ttf.toDouble / math.max(stats.sum_ttf, 1L)).toFloat
+    (tf: Float, nb: Byte) => {
+      val dl = Bm25.NormTable(nb & 0xff)
+      val s = (math.log(1.0 + ((1 - lambda) * tf / dl) / (lambda * pwc))).toFloat * boost
+      if (s > 0f) s else 0f
+    }
+  }
+}
+
 /** Dirichlet-smoothed query-likelihood language model
   * (LMDirichletSimilarity semantics,
   * /root/reference/src/Lucene.Net/Search/Similarities/LMDirichletSimilarity.cs;

@@ -7,7 +7,7 @@ import graft.model.CollectionStats
 import graft.oracle.BruteForce
 import graft.query.{Query, Searcher}
 import graft.score.{Bm25, Bm25Similarity, ClassicSimilarity, DFRSimilarity,
-  IBSimilarity, LMDirichletSimilarity}
+  IBSimilarity, LMDirichletSimilarity, LMJelinekMercerSimilarity}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -88,7 +88,7 @@ class SimilaritySpec extends AnyFunSuite {
     val turns = Transcripts.local(120).sortBy(t => (t.conv_id, t.turn_idx))
       .zipWithIndex.map { case (t, i) => (i.toLong, t.text) }
     for (sim <- Seq(ClassicSimilarity, LMDirichletSimilarity(),
-      DFRSimilarity(), IBSimilarity())) {
+      DFRSimilarity(), IBSimilarity(), LMJelinekMercerSimilarity())) {
       val searcher = new Searcher(spark, dir, sim)
       val oracle = new BruteForce(turns, sim)
       for (q <- Seq(Query.Term("time"), Query.parse("time person"),

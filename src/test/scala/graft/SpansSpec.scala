@@ -102,17 +102,21 @@ class SpansSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
     IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 60), dir)
-    val q = SpanNear(SpanTerm("time"), SpanTerm("person"), 2, inOrder = true)
-    val got = Spans.spans(spark, dir, q).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
-    // local oracle over the same analyzed docs
     val turns = Transcripts.local(60).sortBy(t => (t.conv_id, t.turn_idx))
-    val want = turns.zipWithIndex.flatMap { case (t, i) =>
-      val tp = graft.analysis.Analyzer.termPositions(t.text)._1
-        .map { case (k, v) => k -> v.toArray }
-      eval(q, tp).map { case (s, e) => (i.toLong, s, e) }
-    }.sortBy(identity)
-    assert(got == want)
-    assert(got.nonEmpty)
+    for (q <- Seq[SpanQuery](
+      SpanNear(SpanTerm("time"), SpanTerm("person"), 2, inOrder = true),
+      SpanNearUnorderedK(Seq(SpanTerm("time"), SpanTerm("person"),
+        SpanTerm("year")), 5))) {
+      val got = Spans.spans(spark, dir, q).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      // local oracle over the same analyzed docs
+      val want = turns.zipWithIndex.flatMap { case (t, i) =>
+        val tp = graft.analysis.Analyzer.termPositions(t.text)._1
+          .map { case (k, v) => k -> v.toArray }
+        eval(q, tp).map { case (s, e) => (i.toLong, s, e) }
+      }.sortBy(identity)
+      assert(got == want, s"diverged on $q")
+      assert(got.nonEmpty)
+    }
   }
 }
