@@ -440,6 +440,10 @@ object Gate {
     "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
+    "text_langid" -> ((s, d) => textLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => textFingerprint(s, d)),
+    "text_token_bpe" -> ((s, d) => textTokenCounts(s, d)),
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d, 0.45)),
     "ft_analyze_expr" -> ((s, d) => {
       // the codegen'd Catalyst analyzer expression (graft.functions
       // .AnalyzeTerms), registered via the SparkSessionExtensions hook /
@@ -1053,6 +1057,147 @@ object Gate {
           .as("stop_ratio_q"))
       .orderBy("doc_id")
       .limit(100)
+  }
+
+  /** Language-ID by stopword-profile hits (the n-gram-heuristic family at
+    * its word-gram point): per language, count tokens hitting a small
+    * marker list; predicted = highest count, ties broken by language code
+    * ascending, all-zero -> "und" (the BCP-47 undetermined tag). At scale:
+    * one narrow projection, no shuffle (per-row arithmetic only).
+    */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "en" -> Seq("the", "a", "and", "is", "of", "to"),
+      "es" -> Seq("el", "los", "que", "es", "una", "por"),
+      "fr" -> Seq("le", "les", "est", "une", "dans", "pour"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+    val toks = split(col("text"), " ", -1)
+    val hitCols = profiles.map { case (lang, markers) =>
+      size(filter(toks, t => t.isInCollection(markers))).cast("long").as(s"${lang}_hits")
+    }
+    val withHits = docsTable(spark, sfDir).select(col("doc_id") +: hitCols: _*)
+    val g = greatest(profiles.map(p => col(s"${p._1}_hits")): _*)
+    // tie-break = the CASE order (language code ascending) — mirrored in SQL
+    val pred = when(g === 0, lit("und"))
+      .otherwise(profiles.foldRight(lit(null).cast("string")) { case ((lang, _), acc) =>
+        when(col(s"${lang}_hits") === g, lit(lang)).otherwise(acc)
+      })
+    withHits
+      .select((col("doc_id") +: profiles.map(p => col(s"${p._1}_hits"))) :+
+        pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03 —
+    * the rolling-hash fingerprint family): 3-token shingles hashed with
+    * md5, a w=4 sliding window over consecutive shingle hashes, the
+    * window minimum selected, distinct selected hashes = the doc's
+    * fingerprint set. Guarantees every match of >= w+2 tokens shares a
+    * fingerprint. At scale: narrow per-doc window functions, one shuffle
+    * on doc_id.
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsTable(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", col("t"), col("t2"), col("t3"))).as("h"))
+    val ww = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    val maxP = Window.partitionBy("doc_id")
+    sh.withColumn("fp", min("h").over(ww))
+      .withColumn("mp", max("p").over(maxP))
+      .filter(col("p") <= col("mp") - 3)
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy("doc_id", "fp")
+  }
+
+  /** Token counting two ways (training-data accounting): whitespace tokens
+    * and a BPE-ish regex segmentation (letter runs | digit runs | single
+    * other non-space — the pre-tokenizer shape of byte-pair encoders).
+    * Per-row arithmetic only; no shuffle.
+    */
+  def textTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docsTable(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+", -1), t => length(t) > 0))
+          .cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  /** Embedding-cosine near-duplicate pairs — the dedup variant of the ANN
+    * machinery: 16 sign hyperplanes -> a 16-bit signature split into four
+    * 4-bit bands; candidate pairs join on (band, bits) EQUALITY (never a
+    * cross product), then exact double-precision cosine >= tau verifies.
+    * Recall is the LSH config's own (the oracle mirrors the same
+    * algorithm). At 100 TB the band width grows with corpus size (wider
+    * bands = fewer, more precise candidates) and the exact verify joins
+    * back by id — same plan shape.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    import spark.implicits._
+    val NumPlanes = 16
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val dim = emb.head()._2.length
+    val planes: Array[Array[Double]] = Array.tabulate(NumPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        Integer.parseInt(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p|$j").substring(0, 2),
+          16) - 127.5
+      }
+    }
+    val bp = spark.sparkContext.broadcast(planes)
+    val bands = emb.flatMap { case (id, e) =>
+      var bits = 0
+      var p = 0
+      while (p < NumPlanes) {
+        var dot = 0.0
+        var j = 0
+        while (j < e.length) { dot += e(j).toDouble * bp.value(p)(j); j += 1 }
+        if (dot >= 0) bits |= (1 << p)
+        p += 1
+      }
+      (0 until 4).iterator.map(b => (b, (bits >> (4 * b)) & 0xF, id))
+    }.toDF("band", "bits", "vec_id")
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val ev = emb.toDF("vec_id", "e")
+    cands
+      .join(ev.select(col("vec_id").as("d1"), col("e").as("e1")), "d1")
+      .join(ev.select(col("vec_id").as("d2"), col("e").as("e2")), "d2")
+      .select(col("d1"), col("d2"), col("e1"), col("e2"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (d1, d2, e1, e2) =>
+        var dot = 0.0
+        var n1 = 0.0
+        var n2 = 0.0
+        var j = 0
+        while (j < e1.length) {
+          val x = e1(j).toDouble
+          val y = e2(j).toDouble
+          dot += x * y; n1 += x * x; n2 += y * y
+          j += 1
+        }
+        (d1, d2, dot / (math.sqrt(n1) * math.sqrt(n2)))
+      }
+      .toDF("d1", "d2", "cos")
+      .filter(col("cos") >= tau)
+      .select(col("d1"), col("d2"), q(col("cos")).as("cos_q"))
+      .orderBy("d1", "d2")
   }
 
   /** Brute-force cosine top-k over the embeddings table vs. the vec_id=0

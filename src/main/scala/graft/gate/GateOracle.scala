@@ -482,6 +482,78 @@ object GateOracle {
          |JOIN raws r USING (doc_id)
          |LEFT JOIN dts dt USING (doc_id)
          |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "text_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS de_hits,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','is','of','to'))) AS BIGINT) AS en_hits,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el','los','que','es','una','por'))) AS BIGINT) AS es_hits,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','les','est','une','dans','pour'))) AS BIGINT) AS fr_hits,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('的','是','了','在','和','有'))) AS BIGINT) AS zh_hits
+         |  FROM documents
+         |)
+         |SELECT doc_id, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+         |  CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+         |       WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) THEN 'de'
+         |       WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) THEN 'en'
+         |       WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) THEN 'es'
+         |       WHEN fr_hits = greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM h ORDER BY doc_id LIMIT 200""".stripMargin,
+    "text_fingerprint" ->
+      s"""$prelude, sh AS (
+         |  SELECT a.doc_id, a.p, md5(a.t || ' ' || b.t || ' ' || c.t) AS h
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |), wins AS (
+         |  SELECT doc_id, p,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    max(p) OVER (PARTITION BY doc_id) AS mp
+         |  FROM sh
+         |)
+         |SELECT DISTINCT doc_id, fp FROM wins WHERE p <= mp - 3
+         |ORDER BY doc_id, fp""".stripMargin,
+    "text_token_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), pl AS (
+         |  SELECT p.p AS p, j.j AS j,
+         |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 2, 1)) - 1) - 127.5 AS w
+         |  FROM (SELECT unnest(range(0, 16)) AS p) p
+         |  CROSS JOIN (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
+         |), dots AS (
+         |  SELECT e.vec_id, pl.p, sum(e.ev[pl.j + 1] * pl.w) AS dot
+         |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.p
+         |), buck AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+         |  FROM dots GROUP BY vec_id
+         |), bands AS (
+         |  SELECT buck.vec_id, k.k AS band,
+         |    (buck.b // CAST(power(2, 4 * k.k) AS BIGINT)) % 16 AS bits
+         |  FROM buck CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+         |), cosd AS (
+         |  SELECT c.d1, c.d2,
+         |    list_sum(list_transform(range(1, len(x.ev) + 1), i -> x.ev[i] * y.ev[i])) /
+         |    (sqrt(list_sum(list_transform(x.ev, v -> v * v))) *
+         |     sqrt(list_sum(list_transform(y.ev, v -> v * v)))) AS cos
+         |  FROM cand c JOIN e x ON x.vec_id = c.d1 JOIN e y ON y.vec_id = c.d2
+         |)
+         |SELECT d1, d2, ${qz("cos")} AS cos_q FROM cosd WHERE cos >= 0.45
+         |ORDER BY d1, d2""".stripMargin,
     "ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
