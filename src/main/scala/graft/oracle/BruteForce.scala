@@ -35,18 +35,62 @@ final class BruteForce(docs: Seq[(Long, String)],
   val termIds: Map[String, Long] = df.keys.toSeq.sorted.zipWithIndex
     .map { case (t, i) => t -> i.toLong }.toMap
 
-  def search(q: Query, k: Int): Seq[(Long, Float)] = q match {
-    case Query.Term(t, boost) => runClauses(Seq((t, Query.Should, boost)), 0, k)
+  def search(q: Query, k: Int): Seq[(Long, Float)] =
+    scoreAll(q).sortBy { case (id, s) => (-s, id) }.take(k)
+
+  private def isNested(q: Query): Boolean = q match {
+    case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
+         _: Query.MultiPhrase => true
+    case _ => false
+  }
+
+  /** ALL matching docs with scores — the recursion mirror of the engine's
+    * Searcher.scoreAll (same canonical float orders: flat levels ascending
+    * term_id, nested levels clause order, group boost last).
+    */
+  private def scoreAll(q: Query): Seq[(Long, Float)] = q match {
+    case Query.Term(t, boost) => runClauses(Seq((t, Query.Should, boost)), 0)
     case b: Query.Bool =>
       runClauses(
         b.must.map(t => (t, Query.Must: Query.Occur, 1.0f)) ++
           b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
-        b.minShouldMatch, k)
-    case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
-    case mp: Query.MultiPhrase => runPositional(mp.slots, 0, mp.boost, k)
-    case bq: Query.BoolQ => runClauses(rewrite(bq.clauses), bq.minShouldMatch, k)
-    case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
+        b.minShouldMatch)
+    case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost)
+    case mp: Query.MultiPhrase => runPositional(mp.slots, 0, mp.boost)
+    case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
+      runNested(bq)
+    case bq: Query.BoolQ =>
+      val flat = runClauses(rewrite(bq.clauses), bq.minShouldMatch)
+      if (bq.boost == 1.0f) flat
+      else flat.map { case (id, s) => (id, bq.boost * s) }
+    case leaf => scoreAll(Query.BoolQ(Seq((Query.Should, leaf))))
+  }
+
+  private def runNested(bq: Query.BoolQ): Seq[(Long, Float)] = {
+    val kids: Seq[(Query.Occur, Map[Long, Float])] =
+      bq.clauses.map { case (occ, sub) => (occ, scoreAll(sub).toMap) }
+    val nMust = bq.clauses.count(_._1 == Query.Must)
+    val docs = kids.flatMap(_._2.keys).distinct.sorted
+    docs.flatMap { id =>
+      var mustSeen = 0
+      var shouldSeen = 0
+      var excluded = false
+      var score = 0.0f
+      kids.foreach { case (occ, m) => // clause order = the nested canonical
+        m.get(id).foreach { s =>
+          if (occ == Query.MustNot) excluded = true
+          else {
+            if (occ == Query.Must) mustSeen += 1 else shouldSeen += 1
+            score += s
+          }
+        }
+      }
+      if (!excluded && mustSeen == nMust && shouldSeen >= bq.minShouldMatch &&
+        (mustSeen + shouldSeen) > 0)
+        Some((id, if (bq.boost == 1.0f) score else bq.boost * score))
+      else None
+    }
   }
 
   /** In-memory MultiTermQuery rewrite over the oracle's own vocabulary —
@@ -90,8 +134,8 @@ final class BruteForce(docs: Seq[(Long, String)],
     * alternatives), weight = summed idf in canonical slot/term_id order,
     * scored with the shared Bm25 kernel.
     */
-  private def runPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
-                            k: Int): Seq[(Long, Float)] = {
+  private def runPositional(slots: Seq[Seq[String]], slop: Int,
+                            boost: Float): Seq[(Long, Float)] = {
     val slotTerms: Seq[Seq[String]] =
       slots.map(_.filter(df.contains).distinct.sortBy(termIds))
     if (slotTerms.exists(_.isEmpty)) return Nil
@@ -121,11 +165,11 @@ final class BruteForce(docs: Seq[(Long, String)],
         else None
       }
     }
-    out.sortBy { case (id, s) => (-s, id) }.take(k)
+    out
   }
 
-  private def runClauses(clauses: Seq[(String, Query.Occur, Float)], mm: Int,
-                         k: Int): Seq[(Long, Float)] = {
+  private def runClauses(clauses: Seq[(String, Query.Occur, Float)],
+                         mm: Int): Seq[(Long, Float)] = {
     val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
     val should = clauses.collect { case (t, Query.Should, _) => t }
       .distinct.filterNot(must.contains)
@@ -157,6 +201,6 @@ final class BruteForce(docs: Seq[(Long, String)],
         if (ok) Some((id, score)) else None
       }
     }
-    out.sortBy { case (id, s) => (-s, id) }.take(k)
+    out
   }
 }

@@ -27,12 +27,13 @@ final class MemoryIndex(text: String, analyzer: TextAnalyzer = Analyzer) {
       must.forall(tf(_) > 0) &&
         mustNot.forall(tf(_) == 0) &&
         should.count(tf(_) > 0) >= math.max(mm, if (must.isEmpty) 1 else 0)
-    case Query.BoolQ(clauses, mm) =>
-      val must = clauses.collect { case (Query.Must, Query.Term(t, _)) => t }
-      val should = clauses.collect { case (Query.Should, Query.Term(t, _)) => t }
-      val not = clauses.collect { case (Query.MustNot, Query.Term(t, _)) => t }
-      must.forall(tf(_) > 0) && not.forall(tf(_) == 0) &&
-        should.count(tf(_) > 0) >= math.max(mm, if (must.isEmpty) 1 else 0)
+    case Query.BoolQ(clauses, mm, _) =>
+      // clauses recurse (nested groups / phrases percolate too)
+      val must = clauses.collect { case (Query.Must, s) => s }
+      val should = clauses.collect { case (Query.Should, s) => s }
+      val not = clauses.collect { case (Query.MustNot, s) => s }
+      must.forall(matches) && !not.exists(matches) &&
+        should.count(matches) >= math.max(mm, if (must.isEmpty) 1 else 0)
     case p: Query.Phrase => phraseFreq(p) > 0.0f
     case other => throw new UnsupportedOperationException(s"MemoryIndex: $other")
   }

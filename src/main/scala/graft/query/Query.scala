@@ -29,12 +29,22 @@ object Query {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 0) extends Query
 
-  /** General boolean with per-clause occurrence and nested leaf queries
-    * (Term / multi-term rewrites; Phrase nesting is not executable in v0 —
-    * a standalone Phrase is).
+  /** General boolean with per-clause occurrence. Clauses may be flat
+    * leaves (Term / multi-term rewrites) or NESTED queries (BoolQ groups,
+    * Phrase, MultiPhrase — BooleanQuery-in-BooleanQuery semantics,
+    * /root/reference/src/Lucene.Net/Search/BooleanQuery.cs). `boost`
+    * multiplies the group's summed score (BooleanQuery.Boost).
+    *
+    * Float32 canonical order: an all-flat boolean sums clause scores in
+    * ascending term_id (the v0 contract, shared with the oracle); a
+    * boolean containing nested sub-queries sums in CLAUSE order at each
+    * nesting level, each child's score computed under its own canonical
+    * order first — both deterministic, both mirrored bit-for-bit by the
+    * BruteForce oracle.
     */
   final case class BoolQ(clauses: Seq[(Occur, Query)],
-                         minShouldMatch: Int = 0) extends Query
+                         minShouldMatch: Int = 0,
+                         boost: Float = 1.0f) extends Query
 
   /** Positional phrase query scored from the postings positions index.
     *
@@ -107,6 +117,22 @@ object Query {
     * single-clause boolean collapses to its leaf (BooleanQuery.cs:539-562).
     */
   def parse(q: String): Query = {
+    val s = q
+    val n = s.length
+    var i = 0
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def readNumber(): Float = {
+      val start = i
+      while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+      require(i > start, s"expected number at offset $start in: $q")
+      s.substring(start, i).toFloat
+    }
+
+    /** One clause list, ending at end-of-input or (when depth > 0) at the
+      * group's closing ')' — QueryParserBase's recursive group production
+      * (/root/reference/src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs:445).
+      */
+    def parseClauses(depth: Int): Seq[(Occur, Query)] = {
     val clauses = new scala.collection.mutable.ArrayBuffer[(Occur, Query)]()
     var pendingOccur: Option[Occur] = None
     var pendingConj: Option[String] = None
@@ -131,21 +157,28 @@ object Query {
       pendingNot = false
     }
 
-    val s = q
-    val n = s.length
-    var i = 0
-    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
-    def readNumber(): Float = {
-      val start = i
-      while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
-      require(i > start, s"expected number at offset $start in: $q")
-      s.substring(start, i).toFloat
-    }
-    while (i < n) {
+    var done = false
+    while (i < n && !done) {
       val c = s(i)
       if (ws(c)) i += 1
-      else if (c == '(' || c == ')')
-        throw new IllegalArgumentException("parenthesized groups are not supported")
+      else if (c == ')') {
+        require(depth > 0, s"unbalanced ')' at offset $i in: $q")
+        done = true // caller consumes the ')'
+      }
+      else if (c == '(') {
+        i += 1
+        val sub = parseClauses(depth + 1)
+        require(i < n && s(i) == ')', s"unterminated group in: $q")
+        i += 1
+        var boost = 1.0f
+        if (i < n && s(i) == '^') { i += 1; boost = readNumber() }
+        sub match {
+          case Seq() => // empty group (all stopwords): clause vanishes
+            pendingOccur = None; pendingConj = None; pendingNot = false
+          case Seq((Should, leaf)) if boost == 1.0f => addClause(leaf)
+          case cs => addClause(BoolQ(cs, 0, boost))
+        }
+      }
       else if (c == '+' && i + 1 < n && !ws(s(i + 1))) { pendingOccur = Some(Must); i += 1 }
       else if (c == '-' && i + 1 < n && !ws(s(i + 1))) { pendingOccur = Some(MustNot); i += 1 }
       else if (c == '!' && i + 1 < n && !ws(s(i + 1))) { pendingNot = true; i += 1 }
@@ -234,7 +267,11 @@ object Query {
       }
     }
     require(clauses.size <= MaxClauseCount, s"too many clauses (> $MaxClauseCount)")
-    clauses.toSeq match {
+    clauses.toSeq
+    }
+
+    val top = parseClauses(0)
+    top match {
       case Seq((Should, leaf)) => leaf // single-clause collapse
       case cs                  => BoolQ(cs)
     }

@@ -82,18 +82,92 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     ts
   }
 
-  def search(q: Query, k: Int): DataFrame = q match {
-    case Query.Term(t, boost) => searchClauses(Seq((t, Query.Should, boost)), 0, k)
+  def search(q: Query, k: Int): DataFrame =
+    live(scoreAll(q)).orderBy(desc("score"), asc("doc_id")).limit(k)
+
+  /** True when the query cannot lower to one flat weighted-term clause list
+    * (BooleanQuery-in-BooleanQuery / phrase clauses).
+    */
+  private def isNested(q: Query): Boolean = q match {
+    case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
+         _: Query.MultiPhrase => true
+    case _ => false
+  }
+
+  /** ALL matching docs with scores (no top-k, no liveDocs — the caller
+    * applies both once at the top). Scoring contract per [[Query.BoolQ]]:
+    * flat levels sum ascending term_id; nested levels sum in clause order.
+    */
+  private def scoreAll(q: Query): DataFrame = q match {
+    case Query.Term(t, boost) => clausesScoreAll(Seq((t, Query.Should, boost)), 0)
     case b: Query.Bool =>
-      searchClauses(
+      clausesScoreAll(
         b.must.map(t => (t, Query.Must: Query.Occur, 1.0f)) ++
           b.should.map(t => (t, Query.Should: Query.Occur, 1.0f)) ++
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
-        b.minShouldMatch, k)
-    case p: Query.Phrase => searchPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
-    case mp: Query.MultiPhrase => searchPositional(mp.slots, 0, mp.boost, k)
-    case bq: Query.BoolQ => searchClauses(rewriteClauses(bq.clauses), bq.minShouldMatch, k)
-    case leaf => search(Query.BoolQ(Seq((Query.Should, leaf))), k)
+        b.minShouldMatch)
+    case p: Query.Phrase => positionalScoreAll(p.terms.map(Seq(_)), p.slop, p.boost)
+    case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, 0, mp.boost)
+    case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
+      nestedScoreAll(bq)
+    case bq: Query.BoolQ =>
+      val flat = clausesScoreAll(rewriteClauses(bq.clauses), bq.minShouldMatch)
+      if (bq.boost == 1.0f) flat
+      else flat.select(col("doc_id"), (col("score") * lit(bq.boost)).cast("float").as("score"))
+    case leaf => scoreAll(Query.BoolQ(Seq((Query.Should, leaf))))
+  }
+
+  /** Nested boolean combine: every clause (group, phrase, or leaf) scores
+    * ALL its docs, the union folds per doc in CLAUSE order (the nested
+    * canonical float order, see [[Query.BoolQ]]) with MUST/NOT/mm
+    * semantics, then the group boost multiplies.
+    */
+  private def nestedScoreAll(bq: Query.BoolQ): DataFrame = {
+    require(bq.clauses.size <= Query.MaxClauseCount, "too many clauses")
+    val nMust = bq.clauses.count(_._1 == Query.Must)
+    val mm = bq.minShouldMatch
+    val gb = bq.boost
+    val tagged: Seq[DataFrame] = bq.clauses.zipWithIndex.map { case ((occ, sub), ci) =>
+      scoreAll(sub).select(col("doc_id"), lit(ci).as("ci"), col("score"),
+        lit(occ == Query.Must).as("m"), lit(occ == Query.MustNot).as("n"))
+    }
+    val folded = tagged.reduce(_ unionByName _)
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "ci")
+      .as[(Long, Int, Float, Boolean, Boolean)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new scala.collection.AbstractIterator[(Long, Float)] {
+          private var pending: (Long, Float) = _
+          private var done = false
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && b.hasNext) {
+              val doc = b.head._1
+              var mustSeen = 0
+              var shouldSeen = 0
+              var excluded = false
+              var score = 0.0f
+              while (b.hasNext && b.head._1 == doc) {
+                val (_, _, s, isM, isN) = b.next()
+                if (isN) excluded = true
+                else {
+                  if (isM) mustSeen += 1 else shouldSeen += 1
+                  score += s
+                }
+              }
+              if (!excluded && mustSeen == nMust && shouldSeen >= mm &&
+                (mustSeen + shouldSeen) > 0)
+                pending = (doc, if (gb == 1.0f) score else gb * score)
+            }
+            if (pending == null) done = true
+          }
+          advance()
+          override def hasNext: Boolean = !done
+          override def next(): (Long, Float) = { val h = pending; advance(); h }
+        }
+      }
+    folded.toDF("doc_id", "score")
   }
 
   /** MultiTermQuery rewrite: lower every leaf to weighted term clauses
@@ -146,10 +220,10 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   }
 
   /** Per-doc scored hits for the positive clauses + the boolean combine.
-    * Returns (doc_id: Long, score: Float) top-k.
+    * Returns ALL matching (doc_id: Long, score: Float) rows.
     */
-  private def searchClauses(clauses: Seq[(String, Query.Occur, Float)], mm: Int,
-                            k: Int): DataFrame = {
+  private def clausesScoreAll(clauses: Seq[(String, Query.Occur, Float)],
+                              mm: Int): DataFrame = {
     require(clauses.size <= Query.MaxClauseCount, "too many clauses")
     val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
     val should = clauses.collect { case (t, Query.Should, _) => t }
@@ -228,9 +302,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
           nMust = mustIds.size, mm = mm, width = width)
       }
 
-    live(combined.toDF("doc_id", "score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
+    combined.toDF("doc_id", "score")
   }
 
   /** Decode + score the postings blocks of the given terms.
@@ -268,8 +340,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     * selective its block ranges prune the other terms' blocks up front
     * (lead-term conjunction order, ExactPhraseScorer.cs:118).
     */
-  private def searchPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
-                               k: Int): DataFrame = {
+  private def positionalScoreAll(slots: Seq[Seq[String]], slop: Int,
+                                 boost: Float): DataFrame = {
     import graft.codec.PosSpanBlock
     require(slots.size >= 2, "phrase needs at least two positions")
     require(slop == 0 || slots.forall(_.size == 1),
@@ -325,12 +397,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
           b.tf_bytes, b.norm_bytes, b.pos_bytes))
     }
 
-    val scored = PositionalScan.score(spark, tagged, ids.size, slotIdx, width,
-      slop, weightValue, cache)
-
-    live(scored.toDF("doc_id", "score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
+    PositionalScan.score(spark, tagged, ids.size, slotIdx, width,
+      slop, weightValue, cache).toDF("doc_id", "score")
   }
 
   private def emptyResult: DataFrame =

@@ -72,7 +72,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       searchShould(Seq((t, boost)), k)
     case Query.Bool(Nil, should, Nil, mm) if mm <= 1 && should.nonEmpty =>
       searchShould(should.map((_, 1.0f)), k)
-    case Query.BoolQ(cs, mm) if mm <= 1 && cs.nonEmpty &&
+    case Query.BoolQ(cs, mm, gb) if mm <= 1 && gb == 1.0f && cs.nonEmpty &&
       cs.forall { case (o, c) => o == Query.Should && c.isInstanceOf[Query.Term] } =>
       searchShould(cs.map { case (_, t: Query.Term) => (t.term, t.boost); case _ => null }, k)
     case other =>

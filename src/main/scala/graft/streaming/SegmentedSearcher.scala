@@ -52,7 +52,7 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
         (Nil, Seq(t), Nil, 0, Map(t -> bst))
       case bb: Query.Bool =>
         (bb.must, bb.should, bb.mustNot, bb.minShouldMatch, Map.empty[String, Float])
-      case Query.BoolQ(cs, mm0) if cs.forall(_._2.isInstanceOf[Query.Term]) =>
+      case Query.BoolQ(cs, mm0, gb) if gb == 1.0f && cs.forall(_._2.isInstanceOf[Query.Term]) =>
         val ts = cs.map { case (o, t) => (o, t.asInstanceOf[Query.Term]) }
         (ts.collect { case (Query.Must, t) => t.term },
           ts.collect { case (Query.Should, t) => t.term },

@@ -102,6 +102,16 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("+time w00123* -person")) // mixed boolean with expansion
   }
 
+  test("nested boolean groups end-to-end (clause-order canonical float sum)") {
+    check(Query.parse("(time OR person) AND year"))
+    check(Query.parse("+(spark index) -slow"))
+    check(Query.parse("(time person)^2 way"))
+    check(Query.parse("((time OR person) year) spark"))
+    check(Query.parse("(\"time person\" OR year) spark")) // phrase in a group
+    check(Query.parse("+(time person) +(year way)"))
+    check(Query.parse("-(time person) year")) // negated group
+  }
+
   test("phrase queries from the positions index (exact + sloppy)") {
     // exact slop-0 alignments, incl. a frequent pair and an absent pair
     check(Query.Phrase(Seq("time", "person")))

@@ -71,8 +71,38 @@ class ParserSpec extends AnyFunSuite {
       BoolQ(Seq((Must, Term("quick")), (Must, Term("brown")), (Should, Term("time")))))
   }
 
-  test("parenthesized groups are rejected (flat boolean engine)") {
-    assertThrows[IllegalArgumentException](Query.parse("(a OR b) AND c"))
+  test("parenthesized groups nest (QueryParserBase.cs:445 group production)") {
+    // stopword 'a'/'b' would vanish — use corpus-ish words
+    assert(Query.parse("(time OR person) AND year") ==
+      BoolQ(Seq(
+        (Must, BoolQ(Seq((Should, Term("time")), (Should, Term("person"))))),
+        (Must, Term("year")))))
+    // group boost carries on the BooleanQuery
+    assert(Query.parse("(time person)^2") ==
+      BoolQ(Seq((Should, Term("time")), (Should, Term("person"))), 0, 2.0f))
+    // single-clause group with unit boost collapses to its leaf
+    assert(Query.parse("(time) person") ==
+      BoolQ(Seq((Should, Term("time")), (Should, Term("person")))))
+    // +/- modifiers apply to whole groups; groups nest recursively
+    assert(Query.parse("+(spark index) -(slow down)") ==
+      BoolQ(Seq(
+        (Must, BoolQ(Seq((Should, Term("spark")), (Should, Term("index"))))),
+        (MustNot, BoolQ(Seq((Should, Term("slow")), (Should, Term("down"))))))))
+    assert(Query.parse("((time OR person) year) spark") ==
+      BoolQ(Seq(
+        (Should, BoolQ(Seq(
+          (Should, BoolQ(Seq((Should, Term("time")), (Should, Term("person"))))),
+          (Should, Term("year"))))),
+        (Should, Term("spark")))))
+    // phrases nest inside groups
+    assert(Query.parse("(\"time person\" OR year) spark") ==
+      BoolQ(Seq(
+        (Should, BoolQ(Seq(
+          (Should, Phrase(Seq("time", "person"))), (Should, Term("year"))))),
+        (Should, Term("spark")))))
+    // unbalanced parens still rejected
+    assertThrows[IllegalArgumentException](Query.parse("time) person"))
+    assertThrows[IllegalArgumentException](Query.parse("(time person"))
   }
 
   test("mixed clause kinds parse together") {
