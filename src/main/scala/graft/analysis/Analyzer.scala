@@ -152,10 +152,19 @@ object Analyzer extends TextAnalyzer {
     }
   }
 
+  @inline private def isCjkClass(cls: Int): Boolean =
+    cls == ClsHan || cls == ClsHiragana || cls == ClsKatakana || cls == ClsHangul
+
   /** Raw tokenizer: lowercased token strings in order, >MaxTokenLength dropped
-    * as `null` placeholders so callers can track position holes.
+    * as `null` placeholders so callers can track position holes. With
+    * `cjkBigrams`, maximal runs of adjacent CJK characters (Han, Hiragana,
+    * Katakana, Hangul — merged across classes) emit overlapping character
+    * BIGRAMS, isolated CJK characters emit alone — CJKBigramFilter with all
+    * flags (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Cjk/
+    * CJKBigramFilter.cs; goldens TestCJKAnalyzer.cs/TestCJKBigramFilter.cs).
     */
-  private[analysis] def rawTokens(text: String): mutable.ArrayBuffer[String] = {
+  private[analysis] def rawTokens(text: String,
+                                  cjkBigrams: Boolean = false): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String]()
     val n = text.length
     var i = 0
@@ -164,6 +173,29 @@ object Analyzer extends TextAnalyzer {
       val cls = charClass(cp)
       if (cls == ClsOther) {
         i += Character.charCount(cp)
+      } else if (cjkBigrams && isCjkClass(cls)) {
+        // maximal CJK run -> overlapping bigrams (or a lone single)
+        val run = new mutable.ArrayBuffer[Int]()
+        var j = i
+        while (j < n && { val c = text.codePointAt(j); isCjkClass(charClass(c)) }) {
+          run += text.codePointAt(j)
+          j += Character.charCount(text.codePointAt(j))
+        }
+        if (run.length == 1) {
+          val sb = new java.lang.StringBuilder()
+          sb.appendCodePoint(run(0))
+          out += sb.toString
+        } else {
+          var r = 0
+          while (r < run.length - 1) {
+            val sb = new java.lang.StringBuilder()
+            sb.appendCodePoint(run(r))
+            sb.appendCodePoint(run(r + 1))
+            out += sb.toString
+            r += 1
+          }
+        }
+        i = j
       } else if (cls == ClsHan || cls == ClsHiragana) {
         // single-character token (IDEOGRAPHIC / HIRAGANA)
         val sb = new java.lang.StringBuilder()
@@ -204,6 +236,24 @@ object Analyzer extends TextAnalyzer {
     var i = 0
     while (i < raw.length) {
       if (raw(i) != null && Stopwords.contains(raw(i))) raw(i) = null
+      i += 1
+    }
+    raw
+  }
+}
+
+/** CJKAnalyzer-equivalent chain: the standard tokenizer with CJK character
+  * bigramming (adjacent Han/Hiragana/Katakana/Hangul runs -> overlapping
+  * bigrams, isolated chars stay single), lowercase, English stopwords
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Cjk/CJKAnalyzer.cs
+  * = StandardTokenizer + CJKBigramFilter + LowerCaseFilter + StopFilter).
+  */
+object CJKAnalyzer extends TextAnalyzer {
+  override def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val raw = Analyzer.rawTokens(text, cjkBigrams = true)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) != null && Analyzer.Stopwords.contains(raw(i))) raw(i) = null
       i += 1
     }
     raw

@@ -105,6 +105,38 @@ final case class IBSimilarity(c: Float = 1.0f) extends Similarity {
   }
 }
 
+/** SweetSpotSimilarity — classic TF-IDF with a plateau length norm and a
+  * baseline tf (/root/reference/src/Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs:
+  * lengthNorm = 1/sqrt(steepness*(|l-min|+|l-max|-(max-min))+1), defaults
+  * min=max=1 steepness=0.5 (:127-148); baselineTf = 0 at freq 0, tf_base
+  * below tf_min, else sqrt(freq + base^2 - min) (:179)). Divergence note:
+  * the reference bakes lengthNorm into the stored norm at INDEX time; our
+  * norm byte is the fixed SmallFloat315 1/sqrt(len), so the plateau is
+  * applied query-time to the QUANTIZED decoded length — same curve over
+  * the quantization grid, and engine == oracle exactly since both decode
+  * the same byte.
+  */
+final case class SweetSpotSimilarity(lnMin: Int = 1, lnMax: Int = 1,
+                                     steepness: Float = 0.5f,
+                                     tfBase: Float = 0f, tfMin: Float = 0f)
+    extends Similarity {
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val idf = (math.log(stats.max_doc / (df + 1.0)) + 1.0).toFloat
+    val weight = idf * idf * boost
+    (tf: Float, nb: Byte) => {
+      val len = Bm25.NormTable(nb & 0xff) // quantized field length
+      val baseline =
+        if (tf <= 0f) 0f
+        else if (tf <= tfMin) tfBase
+        else math.sqrt((tf + tfBase * tfBase - tfMin).toDouble).toFloat
+      val lnorm = (1.0 / math.sqrt(
+        steepness * (math.abs(len - lnMin) + math.abs(len - lnMax) - (lnMax - lnMin)) + 1.0)).toFloat
+      weight * baseline * lnorm
+    }
+  }
+}
+
 /** Jelinek-Mercer-smoothed query-likelihood language model
   * (/root/reference/src/Lucene.Net/Search/Similarities/LMJelinekMercerSimilarity.cs:
   * score = boost * log(1 + ((1-lambda) * tf/dl) / (lambda * P(w|C)));

@@ -57,6 +57,23 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("latin", "漢", "字", "か", "な", "カナ", "한글"))
   }
 
+  test("CJKAnalyzer bigrams (TestCJKAnalyzer.cs / TestCJKBigramFilter.cs goldens)") {
+    import graft.analysis.CJKAnalyzer
+    // unbroken Han run -> overlapping bigrams (TestJa1)
+    assert(CJKAnalyzer.terms("一二三四五六七八九十").toSeq ==
+      Seq("一二", "二三", "三四", "四五", "五六", "六七", "七八", "八九", "九十"))
+    // isolated chars stay single; runs bigram within their whitespace span (TestJa2)
+    assert(CJKAnalyzer.terms("一 二三四 五六七八九 十").toSeq ==
+      Seq("一", "二三", "三四", "五六", "六七", "七八", "八九", "十"))
+    // non-CJK text is the standard chain (TestC)
+    assert(CJKAnalyzer.terms("abc defgh spark").toSeq == Seq("abc", "defgh", "spark"))
+    // Hiragana pairs bigram too (TestJ)
+    assert(CJKAnalyzer.terms("あい").toSeq == Seq("あい"))
+    // mixed Han+Hiragana runs merge across classes (TestAllScripts shape)
+    assert(CJKAnalyzer.terms("多くの学生が試験に落ちた。").toSeq ==
+      Seq("多く", "くの", "の学", "学生", "生が", "が試", "試験", "験に", "に落", "落ち", "ちた"))
+  }
+
   test("termFreqs counts only emitted tokens (norm length contract)") {
     val (tf, len) = Analyzer.termFreqs("the cat and the cat sat on a MAT " + ("y" * 300))
     assert(tf == scala.collection.mutable.HashMap("cat" -> 2, "sat" -> 1, "mat" -> 1))

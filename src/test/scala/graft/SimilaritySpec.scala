@@ -7,7 +7,8 @@ import graft.model.CollectionStats
 import graft.oracle.BruteForce
 import graft.query.{Query, Searcher}
 import graft.score.{Bm25, Bm25Similarity, ClassicSimilarity, DFRSimilarity,
-  IBSimilarity, LMDirichletSimilarity, LMJelinekMercerSimilarity}
+  IBSimilarity, LMDirichletSimilarity, LMJelinekMercerSimilarity,
+  SweetSpotSimilarity}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -88,7 +89,8 @@ class SimilaritySpec extends AnyFunSuite {
     val turns = Transcripts.local(120).sortBy(t => (t.conv_id, t.turn_idx))
       .zipWithIndex.map { case (t, i) => (i.toLong, t.text) }
     for (sim <- Seq(ClassicSimilarity, LMDirichletSimilarity(),
-      DFRSimilarity(), IBSimilarity(), LMJelinekMercerSimilarity())) {
+      DFRSimilarity(), IBSimilarity(), LMJelinekMercerSimilarity(),
+      SweetSpotSimilarity())) {
       val searcher = new Searcher(spark, dir, sim)
       val oracle = new BruteForce(turns, sim)
       for (q <- Seq(Query.Term("time"), Query.parse("time person"),
