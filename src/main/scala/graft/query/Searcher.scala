@@ -170,54 +170,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     folded.toDF("doc_id", "score")
   }
 
-  /** MultiTermQuery rewrite: lower every leaf to weighted term clauses
-    * against the term dictionary (SCORING_BOOLEAN_QUERY_REWRITE semantics,
-    * /root/reference/src/Lucene.Net/Search/MultiTermQuery.cs:121; fuzzy uses
-    * the TopTermsRewrite boost heap, TopTermsRewrite.cs). Expansions under
-    * MUST would need a nested disjunction — rejected in v0; under MUST_NOT
-    * they are sound (excluding the union).
-    */
-  private[graft] def rewriteClauses(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] = {
-    def expansion(occ: Query.Occur, q: Query): Seq[(String, Float)] = q match {
-      case Query.Prefix(p, b) =>
-        expand(col("term").startsWith(p)).map(t => (t, b))
-      case Query.Wildcard(pat, b) =>
-        val sql = pat.replace("%", "\\%").replace("_", "\\_")
-          .replace('*', '%').replace('?', '_')
-        expand(col("term").like(sql)).map(t => (t, b))
-      case Query.Regexp(re, b) =>
-        expand(col("term").rlike(re)).map(t => (t, b))
-      case Query.TermRange(lo, hi, il, ih, b) =>
-        val lower = if (il) col("term") >= lo else col("term") > lo
-        val upper = if (ih) col("term") <= hi else col("term") < hi
-        expand(lower && upper).map(t => (t, b))
-      case f: Query.Fuzzy =>
-        // top-N by similarity = 1 - d/|query| (FuzzyTermsEnum.cs:270), ties
-        // by term; expanded term boost = clause boost * similarity. The
-        // candidate enumeration is uncapped like the reference's terms-enum
-        // walk — the top-N heap caps the CLAUSES, not the candidates.
-        val cands = expand(levenshtein(col("term"), lit(f.term)) <= f.maxEdits,
-          maxTerms = 1 << 20)
-        cands
-          .map { t =>
-            val d = org.apache.commons.text.similarity.LevenshteinDistance
-              .getDefaultInstance.apply(t, f.term).intValue()
-            (t, 1.0f - d.toFloat / f.term.length)
-          }
-          .sortBy { case (t, sim) => (-sim, t) }
-          .take(f.maxExpansions)
-          .map { case (t, sim) => (t, f.boost * sim) }
-      case other =>
-        throw new UnsupportedOperationException(s"clause not executable in a flat boolean: $other")
-    }
-    clauses.flatMap {
-      case (occ, Query.Term(t, b)) => Seq((t, occ, b))
-      case (Query.Must, q) if !q.isInstanceOf[Query.Term] =>
-        throw new UnsupportedOperationException(
-          s"multi-term expansion under MUST needs a nested disjunction (v0 unsupported): $q")
-      case (occ, q) => expansion(occ, q).map { case (t, b) => (t, occ, b) }
-    }
-  }
+  private[graft] def rewriteClauses(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] =
+    Rewrite.clauses(expand, clauses)
 
   /** Per-doc scored hits for the positive clauses + the boolean combine.
     * Returns ALL matching (doc_id: Long, score: Float) rows.

@@ -44,6 +44,25 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       }
   }
 
+  /** Term-dictionary predicate expansion across base + segments — the same
+    * rewrite contract as the batch Searcher (ordered by term, clause-count
+    * guarded), over the UNION of the per-segment dictionaries.
+    */
+  private def expand(pred: org.apache.spark.sql.Column, maxTerms: Int): Seq[String] = {
+    val ts = parts.map(d =>
+        spark.read.parquet(s"$d/termdict").filter(pred).select("term").as[String])
+      .reduce(_ union _)
+      .distinct().orderBy("term").limit(maxTerms + 1).collect().toSeq
+    require(ts.size <= maxTerms, s"rewrite expanded past $maxTerms terms")
+    ts
+  }
+
+  private def isFlatLeaf(q: Query): Boolean = q match {
+    case _: Query.Term | _: Query.Prefix | _: Query.Wildcard | _: Query.Regexp |
+         _: Query.TermRange | _: Query.Fuzzy => true
+    case _ => false
+  }
+
   def search(q: Query, k: Int): DataFrame = {
     // Term/clause boosts thread into the weights exactly as Searcher does
     // (segmented/batch parity must hold for boosted queries too).
@@ -59,11 +78,22 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
           ts.collect { case (Query.MustNot, t) => t.term }, mm0,
           ts.filter(_._1 != Query.MustNot)
             .groupBy(_._2.term).map { case (t, xs) => t -> xs.head._2.boost })
-      case p: Query.Phrase => return searchPhrase(p, k)
+      case Query.BoolQ(cs, mm0, gb) if gb == 1.0f && cs.forall(c => isFlatLeaf(c._2)) =>
+        // multi-term leaves rewrite against the union dictionary, then the
+        // BoolQ-of-terms path scores them (same expansions as batch)
+        val rewritten = graft.query.Rewrite.clauses(expand, cs)
+          .map { case (t, occ, b) => (occ, Query.Term(t, b): Query) }
+        return search(Query.BoolQ(rewritten, mm0), k)
+      case p: Query.Phrase =>
+        return searchPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
+      case mp: Query.MultiPhrase =>
+        return searchPositional(mp.slots, 0, mp.boost, k)
+      case leaf if isFlatLeaf(leaf) =>
+        return search(Query.BoolQ(Seq((Query.Should, leaf))), k)
       case other =>
         throw new UnsupportedOperationException(
-          s"segmented snapshot supports Term/Bool/BoolQ-of-terms/Phrase " +
-            s"(compact() first for: $other)")
+          s"segmented snapshot supports flat booleans, multi-term rewrites " +
+            s"and phrases (compact() first for: $other)")
     }
     val mustD = must.distinct
     val should = should0.distinct.filterNot(mustD.contains)
@@ -146,42 +176,55 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       .limit(k)
   }
 
-  /** Phrase over a segmented snapshot: per-segment positional block scans
-    * (each doc's postings live in exactly one segment) scored with GLOBAL
-    * statistics — the same cross-leaf weight resolution as the term path —
-    * through the shared doc-range-bucketed kernel
+  /** Phrase / MultiPhrase over a segmented snapshot: per-segment positional
+    * block scans (each doc's postings live in exactly one segment) scored
+    * with GLOBAL statistics — the same cross-leaf weight resolution as the
+    * term path — through the shared doc-range-bucketed kernel
     * ([[graft.query.PositionalScan]]; doc ids are globally unique and
     * dense across base + segments, so one bucketing covers the union).
+    * Slot alternatives order ascending by term — the same order as the
+    * batch searcher's ascending term_id (term ids are assigned in term
+    * order), so the summed-idf weight is float-identical.
     */
-  private def searchPhrase(p: Query.Phrase, k: Int): DataFrame = {
+  private def searchPositional(slots: Seq[Seq[String]], slop: Int, boost: Float,
+                               k: Int): DataFrame = {
     import graft.codec.PosSpanBlock
     import graft.query.PositionalScan
-    val dict = lookup(p.terms.distinct)
-    if (p.terms.exists(t => !dict.contains(t)))
+    require(slots.size >= 2, "phrase needs at least two positions")
+    require(slop == 0 || slots.forall(_.size == 1),
+      "sloppy phrase needs single-term slots (multi-term sloppy unsupported)")
+    val dict = lookup(slots.flatten.distinct)
+    val slotTerms: Array[Array[String]] =
+      slots.map(_.filter(dict.contains).distinct.sorted.toArray).toArray
+    if (slotTerms.exists(_.isEmpty))
       return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
     var idfSum = 0.0f
-    p.terms.foreach(t => idfSum += Bm25.idf(dict(t)._1, stats.max_doc))
-    val weightValue = Bm25.weightValue(idfSum, p.boost)
+    slotTerms.foreach(_.foreach(t => idfSum += Bm25.idf(dict(t)._1, stats.max_doc)))
+    val weightValue = Bm25.weightValue(idfSum, boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
-    val clauseIdx: Map[String, Int] = p.terms.distinct.zipWithIndex.toMap
-    val slotIdx: Array[Array[Int]] = p.terms.toArray.map(t => Array(clauseIdx(t)))
+    val allTerms: Seq[String] = slotTerms.flatten.distinct.sorted
+    val clauseIdx: Map[String, Int] = allTerms.zipWithIndex.toMap
+    val slotIdx: Array[Array[Int]] = slotTerms.map(_.map(clauseIdx))
     val width = PositionalScan.bucketWidth(spark, stats.max_doc)
-    val leadClause = clauseIdx(p.terms.minBy(t => dict(t)._1))
+    // lead slot = fewest total postings (global df sum across alternatives)
+    val slotDf: Array[Long] = slotTerms.map(_.map(t => dict(t)._1).sum)
+    val leadTis: Set[Int] = slotIdx(slotDf.indexOf(slotDf.min)).toSet
 
     val perSegment: Seq[Dataset[PositionalScan.Tagged]] = parts.map { d =>
-      val tidMap: Map[Long, Int] = p.terms.distinct.flatMap { t =>
+      val tidMap: Map[Long, Int] = allTerms.flatMap { t =>
         dict(t)._2.collect { case (`d`, tid) => tid -> clauseIdx(t) }
       }.toMap
       if (tidMap.isEmpty) spark.emptyDataset[PositionalScan.Tagged]
       else {
         val bm = spark.sparkContext.broadcast(tidMap)
+        val bLead = spark.sparkContext.broadcast(leadTis)
         spark.read.parquet(s"$d/postings")
           .filter(col("term_id").isin(tidMap.keySet.toSeq: _*))
           .select(PosSpanBlock.cols.map(col): _*)
           .as[PosSpanBlock]
           .flatMap { b =>
             val ti = bm.value(b.term_id)
-            val rank = if (ti == leadClause) 0 else 1
+            val rank = if (bLead.value(ti)) 0 else 1
             PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
               PositionalScan.Tagged(bk, rank, ti, b.first_doc, b.cnt,
                 b.doc_bytes, b.tf_bytes, b.norm_bytes, b.pos_bytes))
@@ -189,7 +232,7 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       }
     }
     val scored = PositionalScan.score(spark, perSegment.reduce(_ union _),
-      clauseIdx.size, slotIdx, width, p.slop, weightValue, cache)
+      allTerms.size, slotIdx, width, slop, weightValue, cache)
     val liveOnly =
       if (snap.tombs.isEmpty) scored.toDF("doc_id", "score")
       else {

@@ -46,7 +46,13 @@ class StreamingSpec extends AnyFunSuite {
     Query.Phrase(Seq("time", "person"), slop = 2),
     // weighted BoolQ through the parser (per-clause boosts)
     Query.parse("time^2 person"),
-    Query.parse("+time person^0.5 -man"))
+    Query.parse("+time person^0.5 -man"),
+    // multi-term rewrites against the UNION dictionary across segments
+    Query.parse("w00123*"),
+    Query.parse("time~1"),
+    Query.parse("[w001230 TO w001240] person"),
+    // multi-phrase over segments (slot alternatives)
+    Query.MultiPhrase(Seq(Seq("time", "year"), Seq("person"))))
 
   test("three appended segments search identically to the batch build") {
     val seg = new SegmentedSearcher(spark, dirs._1)
