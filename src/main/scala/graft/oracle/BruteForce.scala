@@ -57,7 +57,7 @@ final class BruteForce(docs: Seq[(Long, String)],
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
         b.minShouldMatch)
     case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost)
-    case mp: Query.MultiPhrase => runPositional(mp.slots, 0, mp.boost)
+    case mp: Query.MultiPhrase => runPositional(mp.slots, mp.slop, mp.boost)
     case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
       runNested(bq)
     case bq: Query.BoolQ =>

@@ -62,15 +62,30 @@ object Query {
   final case class Phrase(terms: Seq[String], slop: Int = 0,
                           boost: Float = 1.0f) extends Query
 
-  /** MultiPhraseQuery: an exact phrase where each position slot accepts any
-    * of several terms (/root/reference/src/Lucene.Net/Search/MultiPhraseQuery.cs).
+  /** MultiPhraseQuery: a phrase where each position slot accepts any of
+    * several terms (/root/reference/src/Lucene.Net/Search/MultiPhraseQuery.cs).
     * Scored like Phrase with the weight = summed idf over every alternative
     * present in the dictionary (slot order, then ascending term_id within a
     * slot — the documented canonical float order); a slot with no surviving
-    * alternative matches nothing.
+    * alternative matches nothing. slop > 0 runs the [[SloppyPhrase]] window
+    * walk over the per-slot position UNIONS (UnionDocsAndPositionsEnum
+    * cursor semantics) and requires pairwise-DISJOINT slot term sets — a
+    * term shared between slots needs the reference's hidden-collision
+    * machinery (SloppyPhraseScorer.InitFirstTime multi-term repeats),
+    * which stays unsupported.
     */
-  final case class MultiPhrase(slots: Seq[Seq[String]],
+  final case class MultiPhrase(slots: Seq[Seq[String]], slop: Int = 0,
                                boost: Float = 1.0f) extends Query
+
+  /** Sloppy-slot precondition: every pair of slots is disjoint or identical
+    * (see [[MultiPhrase]] — partial overlap needs the reference's
+    * hidden-collision machinery).
+    */
+  def sloppySlotsOk(slots: Seq[Seq[String]]): Boolean =
+    slots.map(_.toSet).combinations(2).forall {
+      case Seq(a, b) => a == b || a.intersect(b).isEmpty
+      case _         => true
+    }
 
   /** PrefixQuery (/root/reference/src/Lucene.Net/Search/PrefixQuery.cs). */
   final case class Prefix(prefix: String, boost: Float = 1.0f) extends Query

@@ -107,7 +107,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
           b.mustNot.map(t => (t, Query.MustNot: Query.Occur, 1.0f)),
         b.minShouldMatch)
     case p: Query.Phrase => positionalScoreAll(p.terms.map(Seq(_)), p.slop, p.boost)
-    case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, 0, mp.boost)
+    case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, mp.slop, mp.boost)
     case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
       nestedScoreAll(bq)
     case bq: Query.BoolQ =>
@@ -298,8 +298,9 @@ final class Searcher(val spark: SparkSession, indexDir: String,
                                  boost: Float): DataFrame = {
     import graft.codec.PosSpanBlock
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || slots.forall(_.size == 1),
-      "sloppy phrase needs single-term slots (multi-term sloppy unsupported)")
+    require(slop == 0 || Query.sloppySlotsOk(slots),
+      "sloppy slots must be pairwise disjoint or identical " +
+        "(hidden-collision repeats unsupported)")
     val dict = lookup(slots.flatten.distinct)
     // alternatives absent from the dictionary drop out; an empty slot
     // matches nothing (MultiPhraseQuery semantics)

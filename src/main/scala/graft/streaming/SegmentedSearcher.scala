@@ -87,7 +87,7 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       case p: Query.Phrase =>
         return searchPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
       case mp: Query.MultiPhrase =>
-        return searchPositional(mp.slots, 0, mp.boost, k)
+        return searchPositional(mp.slots, mp.slop, mp.boost, k)
       case leaf if isFlatLeaf(leaf) =>
         return search(Query.BoolQ(Seq((Query.Should, leaf))), k)
       case other =>
@@ -191,8 +191,9 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     import graft.codec.PosSpanBlock
     import graft.query.PositionalScan
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || slots.forall(_.size == 1),
-      "sloppy phrase needs single-term slots (multi-term sloppy unsupported)")
+    require(slop == 0 || Query.sloppySlotsOk(slots),
+      "sloppy slots must be pairwise disjoint or identical " +
+        "(hidden-collision repeats unsupported)")
     val dict = lookup(slots.flatten.distinct)
     val slotTerms: Array[Array[String]] =
       slots.map(_.filter(dict.contains).distinct.sorted.toArray).toArray

@@ -139,6 +139,12 @@ class IndexEndToEndSpec extends AnyFunSuite {
     // a slot with no surviving alternative matches nothing
     check(Query.MultiPhrase(Seq(Seq("zzznothere"), Seq("person"))))
     check(Query.MultiPhrase(Seq(Seq("time", "spark"), Seq("person"), Seq("year", "day"))))
+    // sloppy multi-phrase: window walk over per-slot position unions
+    // (disjoint slots; MultiPhraseQuery.Slop semantics)
+    check(Query.MultiPhrase(Seq(Seq("time", "spark"), Seq("person")), slop = 2))
+    check(Query.MultiPhrase(Seq(Seq("time"), Seq("person", "year")), slop = 3))
+    // identical slots = a repeated union cursor (repetition machinery)
+    check(Query.MultiPhrase(Seq(Seq("time", "person"), Seq("time", "person")), slop = 2))
   }
 
   test("IndexOptions DOCS_AND_FREQS: positions-less index scores identically") {
