@@ -40,7 +40,7 @@ final class BruteForce(docs: Seq[(Long, String)],
 
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
-         _: Query.MultiPhrase => true
+         _: Query.MultiPhrase | _: Query.ConstantScore => true
     case _ => false
   }
 
@@ -58,6 +58,8 @@ final class BruteForce(docs: Seq[(Long, String)],
         b.minShouldMatch)
     case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => runPositional(mp.slots, mp.slop, mp.boost)
+    case Query.ConstantScore(sub, boost) =>
+      scoreAll(sub).map { case (id, _) => (id, boost) }
     case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
       runNested(bq)
     case bq: Query.BoolQ =>

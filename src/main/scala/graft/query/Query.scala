@@ -87,6 +87,11 @@ object Query {
       case _         => true
     }
 
+  /** ConstantScoreQuery: every matching doc of the wrapped query scores
+    * exactly `boost` (/root/reference/src/Lucene.Net/Search/ConstantScoreQuery.cs).
+    */
+  final case class ConstantScore(query: Query, boost: Float = 1.0f) extends Query
+
   /** PrefixQuery (/root/reference/src/Lucene.Net/Search/PrefixQuery.cs). */
   final case class Prefix(prefix: String, boost: Float = 1.0f) extends Query
 

@@ -90,7 +90,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     */
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
-         _: Query.MultiPhrase => true
+         _: Query.MultiPhrase | _: Query.ConstantScore => true
     case _ => false
   }
 
@@ -108,6 +108,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         b.minShouldMatch)
     case p: Query.Phrase => positionalScoreAll(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, mp.slop, mp.boost)
+    case Query.ConstantScore(sub, boost) =>
+      scoreAll(sub).select(col("doc_id"), lit(boost).cast("float").as("score"))
     case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
       nestedScoreAll(bq)
     case bq: Query.BoolQ =>

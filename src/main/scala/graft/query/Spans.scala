@@ -27,6 +27,7 @@ object Spans {
       case SpanOr(cs)           => cs.flatMap(_.terms).toSet
       case SpanNot(i, e)        => i.terms ++ e.terms
       case SpanFirst(q, _)      => q.terms
+      case SpanPositionRange(q, _, _) => q.terms
     }
   }
   final case class SpanTerm(term: String) extends SpanQuery
@@ -49,6 +50,12 @@ object Spans {
   final case class SpanOr(clauses: Seq[SpanQuery]) extends SpanQuery
   final case class SpanNot(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
   final case class SpanFirst(query: SpanQuery, end: Int) extends SpanQuery
+  /** SpanPositionRangeQuery: sub-spans with start >= `start` and
+    * end <= `end` (/root/reference/src/Lucene.Net/Search/Spans/
+    * SpanPositionRangeQuery.cs; SpanFirst is its start=0 special case).
+    */
+  final case class SpanPositionRange(query: SpanQuery, start: Int,
+                                     end: Int) extends SpanQuery
 
   /** Evaluate a span tree against one document's term -> sorted positions. */
   def eval(q: SpanQuery, tp: collection.Map[String, Array[Int]]): Seq[(Int, Int)] = q match {
@@ -122,6 +129,8 @@ object Spans {
       eval(inc, tp).filter(s => !bad.exists(b => s._1 < b._2 && b._1 < s._2))
     case SpanFirst(sub, end) =>
       eval(sub, tp).filter(_._2 <= end)
+    case SpanPositionRange(sub, start, end) =>
+      eval(sub, tp).filter(s => s._1 >= start && s._2 <= end)
   }
 
   /** Distributed evaluation: (doc_id, start, end) rows for every matching

@@ -112,6 +112,12 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("-(time person) year")) // negated group
   }
 
+  test("constant-score wrapper: every match scores the boost") {
+    check(Query.ConstantScore(Query.Term("time"), 2.5f))
+    check(Query.ConstantScore(Query.parse("time AND person")))
+    check(Query.ConstantScore(Query.Phrase(Seq("time", "person")), 0.5f))
+  }
+
   test("phrase queries from the positions index (exact + sloppy)") {
     // exact slop-0 alignments, incl. a frequent pair and an absent pair
     check(Query.Phrase(Seq("time", "person")))

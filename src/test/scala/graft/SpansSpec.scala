@@ -54,6 +54,15 @@ class SpansSpec extends AnyFunSuite {
     assert(eval(SpanFirst(SpanTerm("a"), 4), tp) == Seq((0, 1), (3, 4)))
   }
 
+  test("span position range bounds both ends (SpanPositionRangeQuery.cs)") {
+    assert(eval(SpanPositionRange(SpanTerm("a"), 1, 5), tp) == Seq((3, 4)))
+    assert(eval(SpanPositionRange(SpanTerm("a"), 0, 5), tp) == Seq((0, 1), (3, 4)))
+    assert(eval(SpanPositionRange(SpanTerm("a"), 4, 9), tp) == Nil)
+    // SpanFirst(q, end) == SpanPositionRange(q, 0, end)
+    assert(eval(SpanPositionRange(SpanTerm("a"), 0, 1), tp) ==
+      eval(SpanFirst(SpanTerm("a"), 1), tp))
+  }
+
   test("k-ary ordered near with total-gap slop accounting") {
     // a@0 b@1 c@2 a@3 d@4
     assert(eval(SpanNearK(Seq(SpanTerm("a"), SpanTerm("b"), SpanTerm("c")), 0), tp) ==
