@@ -265,6 +265,8 @@ object Gate {
           .select("doc_id"), "doc_id")
         .groupBy("doc_id").agg(sum("s").as("sd")), 10)),
     "ft_span_near" -> ((s, d) => spanNearQuery(s, d, "scan", "group", 3)),
+    "ft_span_unordered" -> ((s, d) =>
+      spanUnorderedQuery(s, d, Seq("vector", "merge", "scan"), 6)),
     "ft_span_first" -> ((s, d) => {
       // SpanFirstQuery: term occurrences within the first 5 positions
       import graft.query.Spans
@@ -644,6 +646,31 @@ object Gate {
       .filter(_._2 > 0)
       .toDF("doc_id", "matches")
       .orderBy("doc_id")
+  }
+
+  /** Unordered k-ary SpanNear from the positions index (NearSpansUnordered
+    * CellQueue walk, [[graft.query.Spans.SpanNearUnorderedK]]), gated on the
+    * SQL-expressible single-frontier subset: docs where every clause term
+    * occurs exactly once, where the walk tests one frontier and the match
+    * condition collapses to max(p) - min(p) <= slop + (k - 1). The full
+    * multi-occurrence walk carries golden coverage in SpansSpec.
+    */
+  def spanUnorderedQuery(spark: SparkSession, sfDir: String, terms: Seq[String],
+                         slop: Int): DataFrame = {
+    import graft.query.Spans
+    val idx = indexDir(spark, sfDir)
+    val spans = Spans.spans(spark, idx,
+      Spans.SpanNearUnorderedK(terms.map(Spans.SpanTerm), slop))
+    val singles = docsTable(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"), max("c").as("mx"))
+      .filter(col("nt") === terms.size && col("mx") === 1)
+      .select("doc_id")
+    spans.join(singles, "doc_id")
+      .select(col("doc_id"), col("start").cast("long"), col("end").cast("long"))
+      .orderBy("doc_id", "start", "end")
   }
 
   /** FuzzyQuery at reference strength: distance <= 2 expansion ranked by

@@ -161,6 +161,21 @@ object GateOracle {
          |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 1 AND 3
          |WHERE a.t = 'scan' AND b.t = 'group'
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_span_unordered" ->
+      s"""$prelude, occ AS (
+         |  SELECT doc_id, t, min(p) AS p, count(*) AS c FROM pos
+         |  WHERE t IN ('vector', 'merge', 'scan')
+         |  GROUP BY doc_id, t
+         |), ok AS (
+         |  SELECT doc_id FROM occ GROUP BY doc_id
+         |  HAVING count(*) = 3 AND max(c) = 1
+         |)
+         |SELECT o.doc_id, CAST(min(o.p) - 1 AS BIGINT) AS start,
+         |       CAST(max(o.p) AS BIGINT) AS "end"
+         |FROM occ o JOIN ok USING (doc_id)
+         |GROUP BY o.doc_id
+         |HAVING max(o.p) - min(o.p) <= 6 + 2
+         |ORDER BY doc_id, start, "end"""".stripMargin,
     "ft_span_first" ->
       s"""$prelude
          |SELECT doc_id, CAST(p AS BIGINT) AS p FROM pos
