@@ -253,6 +253,23 @@ object Gate {
       rank(hits(s, d, Seq("spark", "window"))
         .groupBy("doc_id")
         .agg((max("s") + lit(0.1) * (sum("s") - max("s"))).as("sd")), 10)),
+    "ft_q_constant_score" -> ((s, d) =>
+      // ConstantScoreQuery: every match scores exactly the boost (2.5 ->
+      // quantized 25000); ties resolve by doc_id asc
+      hits(s, d, Seq("vector")).select("doc_id").distinct()
+        .select(col("doc_id"), lit(25000L).as("score_q"))
+        .orderBy(desc("score_q"), asc("doc_id"))
+        .limit(10)),
+    "ft_q_nested" -> ((s, d) => {
+      // nested boolean group: (spark OR window) AND merge — group score sum
+      // + conjunct score, on the quantized double parity path
+      val grp = hits(s, d, Seq("spark", "window"))
+        .groupBy("doc_id").agg(sum("s").as("gs"))
+      val m = hits(s, d, Seq("merge"))
+        .groupBy("doc_id").agg(sum("s").as("ms"))
+      rank(grp.join(m, "doc_id")
+        .select(col("doc_id"), (col("gs") + col("ms")).as("sd")), 10)
+    }),
     "ft_q_phrase" -> ((s, d) => phraseQuery(s, d, "fast", "table", 10)),
     "ft_q_phrase_sloppy" -> ((s, d) => sloppyPhraseQuery(s, d, "fast", "merge", 2, 10)),
     "ft_q_multi_phrase" -> ((s, d) =>

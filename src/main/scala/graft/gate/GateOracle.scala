@@ -105,6 +105,21 @@ object GateOracle {
          |SELECT doc_id, ${qz("max(s) + 0.1 * (sum(s) - max(s))")} AS score_q
          |FROM sc WHERE ${inList("spark", "window")}
          |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_constant_score" ->
+      s"""$prelude
+         |SELECT doc_id, CAST(25000 AS BIGINT) AS score_q
+         |FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_nested" ->
+      s"""$prelude, grp AS (
+         |  SELECT doc_id, sum(s) AS gs FROM sc
+         |  WHERE term IN ('spark', 'window') GROUP BY doc_id
+         |), m AS (
+         |  SELECT doc_id, sum(s) AS ms FROM sc WHERE term = 'merge' GROUP BY doc_id
+         |)
+         |SELECT doc_id, ${qz("gs + ms")} AS score_q
+         |FROM grp JOIN m USING (doc_id)
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_phrase" ->
       s"""$prelude, ph AS (
          |  SELECT a.doc_id, count(*) AS pf
