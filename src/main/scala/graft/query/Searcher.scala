@@ -206,8 +206,14 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     val notIds = notTerms.map(dict(_).term_id).toSet
 
     val combined =
-      if (posTerms.size == 1 && notIds.isEmpty && mm <= 1) {
-        // single positive term: no combine, no shuffle
+      if (posTerms.size == 1 && notIds.isEmpty &&
+        (mm == 0 || (mm == 1 && should.exists(dict.contains)))) {
+        // single positive term with a trivially-satisfied minShouldMatch:
+        // no combine, no shuffle. The mm check must see DICTIONARY-PRESENT
+        // should terms: a MUST-only query with mm >= 1 — including one whose
+        // should terms are all absent from the corpus — matches NOTHING
+        // (mm counts SHOULD clauses only, BooleanWeight semantics), so it
+        // takes the combine path below, whose shouldSeen filter drops all.
         val bw = spark.sparkContext.broadcast(weights)
         scoredHits(weights.keySet.toSeq, bw).map(h => (h._1, h._3))
       } else {
