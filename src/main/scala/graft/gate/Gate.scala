@@ -691,8 +691,9 @@ object Gate {
   }
 
   /** FuzzyQuery at reference strength: distance <= 2 expansion ranked by
-    * similarity 1 - d/|query| (FuzzyTermsEnum.cs:270), capped at the top 50
-    * by (sim desc, term asc) — the TopTermsRewrite boost heap
+    * similarity 1 - d/min(|candidate|,|query|) (the reference's accept-path
+    * formula, FuzzyTermsEnum.cs:419), capped at the top 50 by
+    * (sim desc, term asc) — the TopTermsRewrite boost heap
     * (/root/reference/src/Lucene.Net/Search/TopTermsRewrite.cs) — each
     * expanded term's score scaled by its similarity.
     */
@@ -700,7 +701,8 @@ object Gate {
     import spark.implicits._
     val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
     val cands = expand(spark, sfDir, levenshtein(col("term"), lit(qterm)) <= 2)
-      .map { t => (t, 1.0 - lev.apply(t, qterm).intValue() / qterm.length.toDouble) }
+      .map { t => (t, 1.0 - lev.apply(t, qterm).intValue() /
+        math.min(t.length, qterm.length).toDouble) }
       .sortBy { case (t, sim) => (-sim, t) }
       .take(50)
     if (cands.isEmpty) return emptyHits(spark).select(col("doc_id"), col("s").cast("long").as("score_q"))

@@ -206,7 +206,8 @@ object GateOracle {
     "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),
     "ft_q_fuzzy2" ->
       s"""$prelude, fz AS (
-         |  SELECT term, 1.0 - levenshtein(term, 'soft') / 4.0 AS sim
+         |  SELECT term,
+         |    1.0 - levenshtein(term, 'soft') / CAST(least(length(term), 4) AS DOUBLE) AS sim
          |  FROM dfs WHERE levenshtein(term, 'soft') <= 2
          |  ORDER BY sim DESC, term LIMIT 50
          |)

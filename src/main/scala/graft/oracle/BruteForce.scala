@@ -114,7 +114,10 @@ final class BruteForce(docs: Seq[(Long, String)],
         val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
         vocab.flatMap { t =>
           val d = lev.apply(t, f.term).intValue()
-          if (d <= f.maxEdits) Some((t, 1.0f - d.toFloat / f.term.length)) else None
+          // similarity = 1 - d/min(|candidate|,|query|) (FuzzyTermsEnum.cs:419)
+          if (d <= f.maxEdits)
+            Some((t, 1.0f - d.toFloat / math.min(t.length, f.term.length)))
+          else None
         }
           .sortBy { case (t, sim) => (-sim, t) }
           .take(f.maxExpansions)
@@ -171,10 +174,13 @@ final class BruteForce(docs: Seq[(Long, String)],
   }
 
   private def runClauses(clauses: Seq[(String, Query.Occur, Float)],
-                         mm: Int): Seq[(Long, Float)] = {
+                         mm0: Int): Seq[(Long, Float)] = {
     val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
-    val should = clauses.collect { case (t, Query.Should, _) => t }
-      .distinct.filterNot(must.contains)
+    val shouldAll = clauses.collect { case (t, Query.Should, _) => t }.distinct
+    val should = shouldAll.filterNot(must.contains)
+    // MUST-duplicated SHOULD terms credit minShouldMatch (engine contract,
+    // see Searcher.clausesScoreAll)
+    val mm = math.max(0, mm0 - shouldAll.count(must.contains))
     val mustNot = clauses.collect { case (t, Query.MustNot, _) => t }.distinct.toSet
     val boosts: Map[String, Float] =
       clauses.filter(_._2 != Query.MustNot).groupBy(_._1).map { case (t, cs) => t -> cs.head._3 }

@@ -126,8 +126,8 @@ object Query {
   // Supported: bare/`+`/`-` clauses, AND/OR/NOT (&&/||/!), `field:term` (the
   // single indexed field is `text`), quoted phrases with `~slop`, trailing-`*`
   // prefix, `*`/`?` wildcards, `~`/`~1`/`~2` fuzzy, `[a TO b]`/`{a TO b}`
-  // ranges, `^boost`. Parentheses (nested boolean groups) are rejected —
-  // the v0 engine executes flat booleans.
+  // ranges, `^boost`, and parenthesized groups with optional `^boost`
+  // (nested boolean groups, executed recursively — see [[BoolQ]]).
   // -------------------------------------------------------------------------
 
   private val FieldName = "text"

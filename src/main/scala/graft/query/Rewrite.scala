@@ -33,8 +33,9 @@ private[graft] object Rewrite {
         val upper = if (ih) col("term") <= hi else col("term") < hi
         expand(lower && upper, Query.MaxClauseCount).map(t => (t, b))
       case f: Query.Fuzzy =>
-        // top-N by similarity = 1 - d/|query| (FuzzyTermsEnum.cs:270), ties
-        // by term; expanded term boost = clause boost * similarity. The
+        // top-N by similarity = 1 - d/min(|candidate|,|query|) — the
+        // reference's accept-path formula (FuzzyTermsEnum.cs:419), ties by
+        // term; expanded term boost = clause boost * similarity. The
         // candidate enumeration is uncapped like the reference's terms-enum
         // walk — the top-N heap caps the CLAUSES, not the candidates.
         val cands = expand(levenshtein(col("term"), lit(f.term)) <= f.maxEdits,
@@ -43,7 +44,7 @@ private[graft] object Rewrite {
           .map { t =>
             val d = org.apache.commons.text.similarity.LevenshteinDistance
               .getDefaultInstance.apply(t, f.term).intValue()
-            (t, 1.0f - d.toFloat / f.term.length)
+            (t, 1.0f - d.toFloat / math.min(t.length, f.term.length))
           }
           .sortBy { case (t, sim) => (-sim, t) }
           .take(f.maxExpansions)

@@ -179,11 +179,19 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     * Returns ALL matching (doc_id: Long, score: Float) rows.
     */
   private def clausesScoreAll(clauses: Seq[(String, Query.Occur, Float)],
-                              mm: Int): DataFrame = {
+                              mm0: Int): DataFrame = {
     require(clauses.size <= Query.MaxClauseCount, "too many clauses")
     val must = clauses.collect { case (t, Query.Must, _) => t }.distinct
-    val should = clauses.collect { case (t, Query.Should, _) => t }
-      .distinct.filterNot(must.contains)
+    val shouldAll = clauses.collect { case (t, Query.Should, _) => t }.distinct
+    val should = shouldAll.filterNot(must.contains)
+    // A term that is both MUST and SHOULD is deduped to one MUST clause, but
+    // its SHOULD clause is satisfied on EVERY doc passing the conjunction
+    // (the doc provably contains the term) — credit those toward
+    // minShouldMatch so Bool(must=[a], should=[a], mm=1) keeps the
+    // reference's duplicate-clause semantics. (Scores stay deduped: one
+    // contribution per distinct term — documented divergence from
+    // double-counting duplicate clauses.)
+    val mm = math.max(0, mm0 - shouldAll.count(must.contains))
     val mustNot = clauses.collect { case (t, Query.MustNot, _) => t }.distinct
     // first-clause boost wins for a duplicated positive term
     val boosts: Map[String, Float] =

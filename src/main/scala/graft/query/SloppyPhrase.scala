@@ -52,6 +52,11 @@ object SloppyPhrase {
   def freq(slotPositions: Array[Array[Int]], slop: Int): Float = {
     val k = slotPositions.length
     if (k == 0 || slotPositions.exists(_.isEmpty)) return 0.0f
+    // Degenerate single-slot phrase: every occurrence is its own minimal
+    // window of length 0 -> SloppyFreq 1/(0+1) each (the reference rewrites
+    // one-term phrases to TermQuery before the scorer; callers like
+    // MemoryIndex.phraseFreq can still reach here directly).
+    if (k == 1) return slotPositions(0).length.toFloat
     val pps = Array.tabulate(k)(i => new PP(slotPositions(i), i))
 
     // repetition groups: slots of the same term carry identical raw

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * SpanFirstQuery; ordered matching semantics NearSpansOrdered.cs).
   *
   * A span is (start, end) with end exclusive, in token-position space
-  * (stopword holes consume positions). SpanNear is binary (compose nested
-  * nears for k-ary phrases) and enumerates minimal pairings — the common
-  * production shape; the reference's k-ary window algorithm is a documented
-  * deferral.
+  * (stopword holes consume positions). SpanNear is the binary form
+  * (ordered = adjacent-pair enumeration; unordered routes through the
+  * [[SpanNearUnorderedK]] CellQueue walk so overlapping sub-spans match,
+  * the reference's 4.x semantics); SpanNearK / SpanNearUnorderedK are the
+  * k-ary window algorithms.
   */
 object Spans {
 
@@ -63,18 +64,19 @@ object Spans {
       tp.get(t).map(_.toSeq.map(p => (p, p + 1))).getOrElse(Nil)
     case SpanOr(cs) =>
       cs.flatMap(eval(_, tp)).distinct.sorted
-    case SpanNear(l, r, slop, inOrder) =>
+    case SpanNear(l, r, slop, inOrder) if !inOrder =>
+      // unordered binary near runs the reference's NearSpansUnordered walk
+      // (overlapping sub-spans ARE permitted — the documented 4.x quirk),
+      // identical to the k-ary form with two clauses
+      eval(SpanNearUnorderedK(Seq(l, r), slop), tp)
+    case SpanNear(l, r, slop, _) =>
       val ls = eval(l, tp)
       val rs = eval(r, tp)
       val out = for {
         a <- ls
         b <- rs
-        if a != b
-        ok = if (inOrder) b._1 >= a._2 && b._1 - a._2 <= slop
-             else (b._1 >= a._2 && b._1 - a._2 <= slop) ||
-                  (a._1 >= b._2 && a._1 - b._2 <= slop)
-        if ok
-      } yield (math.min(a._1, b._1), math.max(a._2, b._2))
+        if b._1 >= a._2 && b._1 - a._2 <= slop
+      } yield (a._1, b._2)
       out.distinct.sorted
     case SpanNearK(cs, slop) =>
       require(cs.size >= 2, "SpanNearK needs >= 2 clauses")

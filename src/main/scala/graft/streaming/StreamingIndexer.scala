@@ -29,7 +29,8 @@ object StreamingIndexer {
     * (segDir, new high-water maxDoc).
     */
   private def buildSegment(batch: Dataset[Turn], indexDir: String,
-                           snap: Option[SnapshotLog#Snapshot]): (String, Long) = {
+                           snap: Option[SnapshotLog#Snapshot],
+                           positions: Boolean = true): (String, Long) = {
     val spark = batch.sparkSession
     val base = snap.map(_.maxDoc).getOrElse(0L)
     val segId = snap.map(_.id + 1).getOrElse(0L)
@@ -44,19 +45,24 @@ object StreamingIndexer {
       .write.mode("overwrite").parquet(s"$segDir/docmap")
     val maxDoc = base + withIds.count()
     IndexBuilder.build(withIds.select("doc_id", "text"), segDir,
-      IndexBuilder.Options(numPartitions = p))
+      IndexBuilder.Options(numPartitions = p, positions = positions))
     withIds.unpersist(blocking = false)
     (segDir, maxDoc)
   }
 
-  /** Append one batch of turns as a new segment and commit a snapshot. */
+  /** Append one batch of turns as a new segment and commit a snapshot.
+    * `positions` selects the segment's IndexOptions verbosity
+    * (DOCS_AND_FREQS when false — BM25-only streaming indexes skip the
+    * positions payload; deletes/compaction handle both).
+    */
   def appendSegment(batch: Dataset[Turn], indexDir: String,
-                    autoCompact: Boolean = true): Unit = {
+                    autoCompact: Boolean = true,
+                    positions: Boolean = true): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val log = new SnapshotLog(indexDir, spark)
     val snap = log.latest()
-    val (segDir, maxDoc) = buildSegment(batch, indexDir, snap)
+    val (segDir, maxDoc) = buildSegment(batch, indexDir, snap, positions)
     val newSegs = snap.map(_.segments).getOrElse(Nil) :+ segDir
     log.commit(maxDoc, snap.flatMap(_.base), newSegs, snap.map(_.tombs).getOrElse(Nil))
     if (autoCompact && newSegs.size >= CompactAt) compact(spark, indexDir)
@@ -186,12 +192,18 @@ object StreamingIndexer {
           Iterator.single(r.copy(sum_tf = tfs.sum))
         case Some(dead) =>
           val (docs, tfs, norms) = IndexBuilder.decodeRun(r)
-          val poss = graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
+          // DOCS_AND_FREQS runs carry no positions payload (mirror the
+          // mergeRuns hasPos handling): decode/re-encode positions only
+          // when present, else pass null through.
+          val hasPos = r.pos_bytes.nonEmpty
+          val poss =
+            if (hasPos) graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
+            else null
           val keep = docs.indices.filter(i => !dead.value.contains(docs(i)))
           if (keep.isEmpty) Iterator.empty
           else Iterator.single(IndexBuilder.encodeRunRow(r.pid, r.term,
             keep.map(docs).toArray, keep.map(tfs).toArray,
-            keep.map(norms).toArray, keep.map(poss).toArray))
+            keep.map(norms).toArray, if (hasPos) keep.map(poss).toArray else null))
       }
     }
     fixed.write.mode("overwrite").parquet(s"$newBase/runs")

@@ -75,6 +75,27 @@ class DeleteSpec extends AnyFunSuite {
     assert(snap2.maxDoc == all.size)
   }
 
+  test("DOCS_AND_FREQS segments: delete-by-term + compaction (no positions payload)") {
+    val dir = Files.createTempDirectory("graft_del_nopos").toString
+    val all = Transcripts.local(60)
+    val cut = all.size / 2
+    StreamingIndexer.appendSegment(spark.createDataset(all.take(cut)), dir,
+      autoCompact = false, positions = false)
+    StreamingIndexer.appendSegment(spark.createDataset(all.drop(cut)), dir,
+      autoCompact = false, positions = false)
+    StreamingIndexer.deleteByTerm(spark, dir, "person")
+    // compaction must re-encode tombstoned runs WITHOUT decoding positions
+    // (regression: unpackPositions on an empty pos_bytes crashed here)
+    StreamingIndexer.compact(spark, dir)
+    val snap = new SnapshotLog(dir, spark).latest().get
+    assert(snap.tombs.isEmpty && snap.base.isDefined)
+    val base = snap.base.get
+    assert(IndexVerifier.verify(spark, base).isEmpty)
+    val purged = new Searcher(spark, base)
+    assert(purged.search(Query.Term("person"), 1000).count() == 0)
+    assert(purged.search(Query.Term("time"), 10).count() > 0)
+  }
+
   test("updateDocuments: delete + add publish in one atomic snapshot") {
     val dir = Files.createTempDirectory("graft_upd").toString
     val all = Transcripts.local(40)

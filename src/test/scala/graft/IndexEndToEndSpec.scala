@@ -80,6 +80,18 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.Bool(should = Seq("spark", "index", "merge", "sort"), minShouldMatch = 3))
   }
 
+  test("duplicate MUST+SHOULD clause credits minShouldMatch") {
+    // Bool(must=[a], should=[a], mm=1) must NOT be empty: the deduped SHOULD
+    // clause is satisfied by every conjunction-passing doc (BooleanQuery
+    // duplicate-clause semantics)
+    val q = Query.Bool(must = Seq("time"), should = Seq("time"), minShouldMatch = 1)
+    check(q)
+    assert(searcher.search(q, 10).count() > 0)
+    check(Query.Bool(must = Seq("time"), should = Seq("time", "person"), minShouldMatch = 2))
+    check(Query.BoolQ(Seq((Query.Must, Query.Term("time")),
+      (Query.Should, Query.Term("time"))), minShouldMatch = 1))
+  }
+
   test("parsed query syntax end-to-end") {
     check(Query.parse("time person"))
     check(Query.parse("+index search -error"))

@@ -12,6 +12,15 @@ class SloppyPhraseSpec extends AnyFunSuite {
   private def f(slop: Int, slots: Array[Int]*): Float =
     SloppyPhrase.freq(slots.toArray, slop)
 
+  test("single-slot degenerate: each occurrence is a zero-length window") {
+    // the reference rewrites 1-term phrases to TermQuery; direct callers
+    // (MemoryIndex.phraseFreq) still reach freq() with one slot
+    assert(f(0, Array(1, 5, 9)) == 3.0f)
+    assert(f(2, Array(4)) == 1.0f)
+    val mi = new graft.query.MemoryIndex("foo bar foo baz foo")
+    assert(mi.matches(graft.query.Query.Phrase(Seq("foo"), slop = 1)))
+  }
+
   test("exact adjacency scores 1 at any slop") {
     // "a b": a@0, b@1 -> matchLength 0
     assert(f(0, Array(0), Array(1)) == 1.0f)

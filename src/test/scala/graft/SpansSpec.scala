@@ -40,6 +40,13 @@ class SpansSpec extends AnyFunSuite {
       Seq((3, 5)))
     assert(eval(SpanNear(SpanTerm("c"), SpanTerm("b"), 0, inOrder = false), tp) ==
       Seq((1, 3)))
+    // binary unordered runs the NearSpansUnordered walk: co-positioned /
+    // overlapping sub-spans match (the 4.x quirk), same as the k-ary form
+    val tpx = Map("x" -> Array(3), "y" -> Array(3))
+    assert(eval(SpanNear(SpanTerm("x"), SpanTerm("y"), 0, inOrder = false), tpx) ==
+      Seq((3, 4)))
+    assert(eval(SpanNear(SpanTerm("x"), SpanTerm("y"), 0, inOrder = false), tpx) ==
+      eval(SpanNearUnorderedK(Seq(SpanTerm("x"), SpanTerm("y")), 0), tpx))
   }
 
   test("span not removes overlapping matches") {
