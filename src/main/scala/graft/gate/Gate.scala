@@ -305,6 +305,36 @@ object Gate {
     // --- MultiTermQuery rewrites: prefix / wildcard / fuzzy / range --------
     "ft_q_prefix" -> ((s, d) =>
       topkSum(s, d, expand(s, d, col("term").like("s%")), 10)),
+    "ft_q_prefix_wide" -> ((s, d) => {
+      // CONSTANT_SCORE_AUTO rewrite past the clause cap: the prefix is
+      // NEVER expanded — the ENGINE (query.Searcher) executes it as a
+      // term_id-interval docset filter, every match scoring exactly the
+      // boost (MultiTermQuery.cs:65-121, ConstantScoreAutoRewrite.cs:263).
+      // The corpus has 6 's%' terms; cap 4 forces the switch — the same
+      // code path a >1024-term expansion takes at scale.
+      val idx = indexDir(s, d)
+      val key = "graft.rewrite.maxExpansions"
+      val prev = sys.props.get(key)
+      sys.props(key) = "4"
+      try {
+        new graft.query.Searcher(s, idx)
+          .search(graft.query.Query.Prefix("s", 2.5f), 10)
+          .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+      } finally {
+        prev match { case Some(v) => sys.props(key) = v; case None => sys.props -= key }
+      }
+    }),
+    "ft_q_must_prefix" -> ((s, d) => {
+      // multi-term expansion under MUST = a nested SHOULD group inside the
+      // conjunction (BooleanQuery rewrite; engine path spec-verified in
+      // IndexEndToEndSpec) — parity scoring: group sum over matched s%
+      // terms gates the doc, optional 'merge' adds when present
+      val sTerms = expand(s, d, col("term").like("s%"))
+      val grp = hits(s, d, sTerms).groupBy("doc_id").agg(sum("s").as("gs"))
+      val m = hits(s, d, Seq("merge")).groupBy("doc_id").agg(sum("s").as("ms"))
+      rank(grp.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), (col("gs") + coalesce(col("ms"), lit(0.0))).as("sd")), 10)
+    }),
     "ft_q_wildcard" -> ((s, d) =>
       topkSum(s, d, expand(s, d, col("term").like("w_ndow")), 10)),
     "ft_q_fuzzy" -> ((s, d) =>

@@ -202,6 +202,20 @@ object GateOracle {
          |WHERE a.t IN ('fast', 'slow') AND b.t = 'table'
          |ORDER BY a.doc_id, start_pos, end_pos""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
+    "ft_q_prefix_wide" ->
+      s"""$prelude
+         |SELECT doc_id, CAST(25000 AS BIGINT) AS score_q
+         |FROM tfs WHERE term LIKE 's%'
+         |GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_q_must_prefix" ->
+      s"""$prelude, grp AS (
+         |  SELECT doc_id, sum(s) AS gs FROM sc WHERE term LIKE 's%' GROUP BY doc_id
+         |), m AS (
+         |  SELECT doc_id, sum(s) AS ms FROM sc WHERE term = 'merge' GROUP BY doc_id
+         |)
+         |SELECT grp.doc_id, ${qz("gs + coalesce(ms, 0.0)")} AS score_q
+         |FROM grp LEFT JOIN m USING (doc_id)
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_wildcard" -> topk("term LIKE 'w_ndow'"),
     "ft_q_fuzzy" -> topk("levenshtein(term, 'soft') <= 1"),
     "ft_q_fuzzy2" ->

@@ -58,15 +58,98 @@ final class BruteForce(docs: Seq[(Long, String)],
         b.minShouldMatch)
     case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => runPositional(mp.slots, mp.slop, mp.boost)
+    case Query.ConstantScore(mt, boost) if isMultiTermQ(mt) =>
+      // constant-score filter: docs containing ANY matching term, score = boost
+      val ts = expandMulti(mt).toSet
+      analyzed.collect {
+        case (id, tf, _) if tf.keysIterator.exists(ts.contains) => (id, boost)
+      }
     case Query.ConstantScore(sub, boost) =>
       scoreAll(sub).map { case (id, _) => (id, boost) }
-    case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
-      runNested(bq)
-    case bq: Query.BoolQ =>
-      val flat = runClauses(rewrite(bq.clauses), bq.minShouldMatch)
-      if (bq.boost == 1.0f) flat
-      else flat.map { case (id, s) => (id, bq.boost * s) }
+    case bq0: Query.BoolQ =>
+      harden(bq0.clauses) match {
+        case None => Nil
+        case Some(cs) =>
+          val bq = Query.BoolQ(cs, bq0.minShouldMatch, bq0.boost)
+          if (bq.clauses.exists(c => isNested(c._2))) runNested(bq)
+          else {
+            val flat = runClauses(rewrite(bq.clauses), bq.minShouldMatch)
+            if (bq.boost == 1.0f) flat
+            else flat.map { case (id, s) => (id, bq.boost * s) }
+          }
+      }
     case leaf => scoreAll(Query.BoolQ(Seq((Query.Should, leaf))))
+  }
+
+  private def isMultiTermQ(q: Query): Boolean = q match {
+    case _: Query.Prefix | _: Query.Wildcard | _: Query.Regexp |
+         _: Query.TermRange => true
+    case _ => false
+  }
+
+  /** Vocabulary expansion of a multi-term leaf (term list only). */
+  private def expandMulti(q: Query): Seq[String] = {
+    val vocab = df.keys.toSeq.sorted
+    q match {
+      case Query.Prefix(p, _)   => vocab.filter(_.startsWith(p))
+      case Query.Wildcard(w, _) =>
+        val re = ("\\Q" + w.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
+        vocab.filter(t => re.pattern.matcher(t).matches())
+      case Query.Regexp(re, _)  => vocab.filter(_.matches(re))
+      case Query.TermRange(lo, hi, il, ih, _) =>
+        vocab.filter { t =>
+          (if (il) t >= lo else t > lo) && (if (ih) t <= hi else t < hi)
+        }
+      case other => throw new IllegalArgumentException(s"not multi-term: $other")
+    }
+  }
+
+  private def leafBoost(q: Query): Float = q match {
+    case Query.Prefix(_, b) => b
+    case Query.Wildcard(_, b) => b
+    case Query.Regexp(_, b) => b
+    case Query.TermRange(_, _, _, _, b) => b
+    case _ => 1.0f
+  }
+
+  /** Mirror of [[graft.query.Rewrite.harden]] over the oracle's vocabulary:
+    * over-cap expansions become constant-score filters, in-cap expansions
+    * under MUST nest as SHOULD groups, fuzzy under MUST nests its top-N.
+    */
+  private def harden(cs: Seq[(Query.Occur, Query)]): Option[Seq[(Query.Occur, Query)]] = {
+    val cap = graft.query.Rewrite.maxExpansions
+    val out = cs.map {
+      case (occ, mt) if isMultiTermQ(mt) =>
+        val ts = expandMulti(mt)
+        if (ts.size > cap) (occ, Query.ConstantScore(mt, leafBoost(mt)))
+        else if (occ == Query.Must) {
+          if (ts.isEmpty) return None
+          (Query.Must: Query.Occur,
+            Query.BoolQ(ts.map(t =>
+              (Query.Should: Query.Occur, Query.Term(t, leafBoost(mt)): Query))): Query)
+        } else (occ, mt)
+      case (Query.Must, f: Query.Fuzzy) =>
+        val exp = fuzzyTop(f)
+        if (exp.isEmpty) return None
+        (Query.Must: Query.Occur,
+          Query.BoolQ(exp.map { case (t, b) =>
+            (Query.Should: Query.Occur, Query.Term(t, b): Query) }): Query)
+      case c => c
+    }
+    Some(out)
+  }
+
+  private def fuzzyTop(f: Query.Fuzzy): Seq[(String, Float)] = {
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+    df.keys.toSeq.sorted.flatMap { t =>
+      val d = lev.apply(t, f.term).intValue()
+      if (d <= f.maxEdits)
+        Some((t, 1.0f - d.toFloat / math.min(t.length, f.term.length)))
+      else None
+    }
+      .sortBy { case (t, sim) => (-sim, t) }
+      .take(f.maxExpansions)
+      .map { case (t, sim) => (t, f.boost * sim) }
   }
 
   private def runNested(bq: Query.BoolQ): Seq[(Long, Float)] = {
@@ -96,39 +179,20 @@ final class BruteForce(docs: Seq[(Long, String)],
   }
 
   /** In-memory MultiTermQuery rewrite over the oracle's own vocabulary —
-    * the same expansion/ranking contract as Searcher.rewriteClauses.
+    * the same expansion/ranking contract as Searcher.rewriteClauses
+    * (callers run [[harden]] first, so no MUST-side or over-cap leaves
+    * remain here).
     */
   private def rewrite(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] = {
-    val vocab = df.keys.toSeq.sorted
     def expansion(q: Query): Seq[(String, Float)] = q match {
-      case Query.Prefix(p, b)   => vocab.filter(_.startsWith(p)).map((_, b))
-      case Query.Wildcard(w, b) =>
-        val re = ("\\Q" + w.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
-        vocab.filter(t => re.pattern.matcher(t).matches()).map((_, b))
-      case Query.Regexp(re, b)  => vocab.filter(_.matches(re)).map((_, b))
-      case Query.TermRange(lo, hi, il, ih, b) =>
-        vocab.filter { t =>
-          (if (il) t >= lo else t > lo) && (if (ih) t <= hi else t < hi)
-        }.map((_, b))
-      case f: Query.Fuzzy =>
-        val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
-        vocab.flatMap { t =>
-          val d = lev.apply(t, f.term).intValue()
-          // similarity = 1 - d/min(|candidate|,|query|) (FuzzyTermsEnum.cs:419)
-          if (d <= f.maxEdits)
-            Some((t, 1.0f - d.toFloat / math.min(t.length, f.term.length)))
-          else None
-        }
-          .sortBy { case (t, sim) => (-sim, t) }
-          .take(f.maxExpansions)
-          .map { case (t, sim) => (t, f.boost * sim) }
+      case mt if isMultiTermQ(mt) => expandMulti(mt).map((_, leafBoost(mt)))
+      case f: Query.Fuzzy => fuzzyTop(f)
       case other =>
-        throw new UnsupportedOperationException(s"not executable in a flat boolean: $other")
+        throw new IllegalStateException(
+          s"clause not executable in a flat boolean — harden() first: $other")
     }
     clauses.flatMap {
       case (occ, Query.Term(t, b)) => Seq((t, occ, b))
-      case (Query.Must, q) if !q.isInstanceOf[Query.Term] =>
-        throw new UnsupportedOperationException(s"expansion under MUST: $q")
       case (occ, q) => expansion(q).map { case (t, b) => (t, occ, b) }
     }
   }

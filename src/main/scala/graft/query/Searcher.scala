@@ -73,14 +73,14 @@ final class Searcher(val spark: SparkSession, indexDir: String,
       .map(t => t.term -> t).toMap
 
   /** Expand a term-dictionary predicate to concrete terms (MultiTermQuery
-    * rewrite). `pred` is a Column over the `term` column.
+    * rewrite). `pred` is a Column over the `term` column. Returns up to
+    * maxTerms + 1 rows — the +1 row signals an over-cap expansion to
+    * [[Rewrite.harden]], which switches that leaf to the constant-score
+    * filter rewrite instead of expanding it.
     */
-  def expand(pred: org.apache.spark.sql.Column, maxTerms: Int = Query.MaxClauseCount): Seq[String] = {
-    val ts = termdictDf.filter(pred).select("term").as[String]
+  def expand(pred: org.apache.spark.sql.Column, maxTerms: Int = Query.MaxClauseCount): Seq[String] =
+    termdictDf.filter(pred).select("term").as[String]
       .orderBy("term").limit(maxTerms + 1).collect().toSeq
-    require(ts.size <= maxTerms, s"rewrite expanded past $maxTerms terms")
-    ts
-  }
 
   def search(q: Query, k: Int): DataFrame =
     live(scoreAll(q)).orderBy(desc("score"), asc("doc_id")).limit(k)
@@ -108,15 +108,50 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         b.minShouldMatch)
     case p: Query.Phrase => positionalScoreAll(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, mp.slop, mp.boost)
+    case Query.ConstantScore(mt, boost) if Rewrite.isMultiTerm(mt) =>
+      // constant-score FILTER rewrite (ConstantScoreAutoRewrite semantics):
+      // the docset of every matching term, score = boost, never expanded
+      multiTermDocs(mt).select(col("doc_id"), lit(boost).cast("float").as("score"))
     case Query.ConstantScore(sub, boost) =>
       scoreAll(sub).select(col("doc_id"), lit(boost).cast("float").as("score"))
-    case bq: Query.BoolQ if bq.clauses.exists(c => isNested(c._2)) =>
-      nestedScoreAll(bq)
-    case bq: Query.BoolQ =>
-      val flat = clausesScoreAll(rewriteClauses(bq.clauses), bq.minShouldMatch)
-      if (bq.boost == 1.0f) flat
-      else flat.select(col("doc_id"), (col("score") * lit(bq.boost)).cast("float").as("score"))
+    case bq0: Query.BoolQ =>
+      Rewrite.harden(expand, bq0.clauses) match {
+        case None => emptyResult // a MUST clause provably matches nothing
+        case Some(cs) =>
+          val bq = Query.BoolQ(cs, bq0.minShouldMatch, bq0.boost)
+          if (bq.clauses.exists(c => isNested(c._2))) nestedScoreAll(bq)
+          else {
+            val flat = clausesScoreAll(rewriteClauses(bq.clauses), bq.minShouldMatch)
+            if (bq.boost == 1.0f) flat
+            else flat.select(col("doc_id"), (col("score") * lit(bq.boost)).cast("float").as("score"))
+          }
+      }
     case leaf => scoreAll(Query.BoolQ(Seq((Query.Should, leaf))))
+  }
+
+  /** Docset of a multi-term leaf without expansion — the CONSTANT_SCORE
+    * filter execution (/root/reference/src/Lucene.Net/Search/
+    * ConstantScoreAutoRewrite.cs:263 builds the same docset as a bitset).
+    * Term ids are dense by ascending term, so prefix/range matches form a
+    * CONTIGUOUS id interval: the scan prunes by `term_id BETWEEN lo AND hi`
+    * (Parquet row-group min/max) and only non-contiguous shapes
+    * (wildcard/regexp) refine with a term_id semi-join. No term list ever
+    * reaches the driver — safe at any dictionary size.
+    */
+  private def multiTermDocs(mt: Query): DataFrame = {
+    val (p, _) = Rewrite.pred(mt)
+    val matched = termdictDf.filter(p).select("term_id")
+    val (lo, hi) = matched.agg(min("term_id"), max("term_id"))
+      .as[(Option[Long], Option[Long])].head()
+    if (lo.isEmpty) return emptyResult.select("doc_id")
+    var blocks = postings.filter(col("term_id").between(lo.get, hi.get))
+    if (!Rewrite.isContiguous(mt))
+      blocks = blocks.join(matched, Seq("term_id"), "left_semi")
+    blocks.select(ScoreBlock.cols.map(col): _*)
+      .as[ScoreBlock]
+      .flatMap(b => PostingCodec.decode(b)._1.iterator)
+      .toDF("doc_id")
+      .distinct()
   }
 
   /** Nested boolean combine: every clause (group, phrase, or leaf) scores

@@ -48,14 +48,11 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     * rewrite contract as the batch Searcher (ordered by term, clause-count
     * guarded), over the UNION of the per-segment dictionaries.
     */
-  private def expand(pred: org.apache.spark.sql.Column, maxTerms: Int): Seq[String] = {
-    val ts = parts.map(d =>
+  private def expand(pred: org.apache.spark.sql.Column, maxTerms: Int): Seq[String] =
+    parts.map(d =>
         spark.read.parquet(s"$d/termdict").filter(pred).select("term").as[String])
       .reduce(_ union _)
       .distinct().orderBy("term").limit(maxTerms + 1).collect().toSeq
-    require(ts.size <= maxTerms, s"rewrite expanded past $maxTerms terms")
-    ts
-  }
 
   private def isFlatLeaf(q: Query): Boolean = q match {
     case _: Query.Term | _: Query.Prefix | _: Query.Wildcard | _: Query.Regexp |
@@ -80,10 +77,21 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
             .groupBy(_._2.term).map { case (t, xs) => t -> xs.head._2.boost })
       case Query.BoolQ(cs, mm0, gb) if gb == 1.0f && cs.forall(c => isFlatLeaf(c._2)) =>
         // multi-term leaves rewrite against the union dictionary, then the
-        // BoolQ-of-terms path scores them (same expansions as batch)
-        val rewritten = graft.query.Rewrite.clauses(expand, cs)
-          .map { case (t, occ, b) => (occ, Query.Term(t, b): Query) }
-        return search(Query.BoolQ(rewritten, mm0), k)
+        // BoolQ-of-terms path scores them (same expansions as batch). The
+        // harden pre-pass handles MUST-side expansions and over-cap
+        // constant-score shapes; the snapshot reader executes only the flat
+        // outcomes (nested/constant-score need compact() first — documented).
+        graft.query.Rewrite.harden(expand, cs) match {
+          case None =>
+            return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+          case Some(hs) =>
+            require(hs.forall(c => isFlatLeaf(c._2)),
+              "segmented snapshot: MUST-side or over-cap multi-term expansion " +
+                "needs a compacted base (compact() first)")
+            val rewritten = graft.query.Rewrite.clauses(expand, hs)
+              .map { case (t, occ, b) => (occ, Query.Term(t, b): Query) }
+            return search(Query.BoolQ(rewritten, mm0), k)
+        }
       case p: Query.Phrase =>
         return searchPositional(p.terms.map(Seq(_)), p.slop, p.boost, k)
       case mp: Query.MultiPhrase =>

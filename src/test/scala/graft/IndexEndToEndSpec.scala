@@ -114,6 +114,44 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("+time w00123* -person")) // mixed boolean with expansion
   }
 
+  test("multi-term under MUST nests as a SHOULD group (BooleanQuery rewrite)") {
+    check(Query.parse("+w00123* search"))
+    check(Query.BoolQ(Seq(
+      (Query.Must, Query.TermRange("w001230", "w001240", includeLo = true, includeHi = true)),
+      (Query.Should, Query.Term("time")))))
+    check(Query.BoolQ(Seq((Query.Must, Query.Fuzzy("index", 1)))))
+    check(Query.BoolQ(Seq(
+      (Query.Must, Query.Wildcard("w0012?4")),
+      (Query.MustNot, Query.Term("person")))))
+    // a MUST expansion matching nothing empties the conjunction
+    check(Query.BoolQ(Seq(
+      (Query.Must, Query.Prefix("zzzznope")),
+      (Query.Should, Query.Term("time")))))
+  }
+
+  test("over-cap expansions switch to the constant-score filter rewrite") {
+    val key = "graft.rewrite.maxExpansions"
+    val prev = sys.props.get(key)
+    sys.props(key) = "3"
+    try {
+      // 'w*' matches thousands of synthetic tail words >> cap 3
+      check(Query.Prefix("w", 2.0f))
+      check(Query.parse("time w*"))
+      check(Query.Wildcard("w*1"))
+      check(Query.BoolQ(Seq(
+        (Query.Must, Query.Prefix("w")),
+        (Query.Should, Query.Term("time")))))
+      check(Query.BoolQ(Seq(
+        (Query.Should, Query.Term("time")),
+        (Query.MustNot, Query.Prefix("w")))))
+      // still rank-defined: constant score, ties by doc_id
+      assert(searcher.search(Query.Prefix("w", 2.0f), 5).collect()
+        .forall(_.getFloat(1) == 2.0f))
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v; case None => sys.props -= key }
+    }
+  }
+
   test("nested boolean groups end-to-end (clause-order canonical float sum)") {
     check(Query.parse("(time OR person) AND year"))
     check(Query.parse("+(spark index) -slow"))
