@@ -219,6 +219,25 @@ object Gate {
         .toDF("doc_id", "tf")
         .orderBy("doc_id")
     }),
+    // --- FLOAT32 ENGINE gates: run query.Searcher / WandSearcher end-to-end
+    // (decode, float32 kernel, packed-block combine, top-k) against a
+    // bit-exact REAL-arithmetic DuckDB oracle — the shipping engine itself
+    // under the driver's hard correctness signal.
+    "ft_engine_term" -> ((s, d) =>
+      engineTopk(s, d, graft.query.Query.Term("vector"), 10)),
+    "ft_engine_or" -> ((s, d) =>
+      engineTopk(s, d,
+        graft.query.Query.Bool(should = Seq("spark", "window", "merge")), 10)),
+    "ft_engine_wand" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      new graft.query.WandSearcher(s, idx)
+        .search(graft.query.Query.Bool(should = Seq("spark", "window", "merge")), 10)
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+    }),
+    "ft_engine_nested" -> ((s, d) =>
+      engineTopk(s, d, graft.query.Query.parse("(spark OR window) AND merge"), 10)),
+    "ft_engine_phrase" -> ((s, d) =>
+      engineTopk(s, d, graft.query.Query.Phrase(Seq("fast", "table")), 10)),
     // --- search: term / boolean algebra / dismax / phrase ------------------
     "ft_q_term" -> ((s, d) => topkSum(s, d, Seq("vector"), 10)),
     "ft_q_term_stemmed" -> ((s, d) => {
@@ -524,6 +543,16 @@ object Gate {
     "sim_topk" -> ((s, d) => simTopk(s, d, 10)),
     "sessionize" -> ((s, d) => sessionize(s, d))
   )
+
+  /** Run the float32 ENGINE ([[graft.query.Searcher]]) end-to-end and project
+    * the quantized score — the oracle ranks by the bit-identical REAL score.
+    */
+  def engineTopk(spark: SparkSession, sfDir: String, qry: graft.query.Query,
+                 k: Int): DataFrame = {
+    val idx = indexDir(spark, sfDir)
+    new graft.query.Searcher(spark, idx).search(qry, k)
+      .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+  }
 
   // ------------------------- multi-step queries ----------------------------
 

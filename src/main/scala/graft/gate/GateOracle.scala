@@ -64,6 +64,50 @@ object GateOracle {
        |  FROM tfs t JOIN dfs d USING (term) JOIN nrm r USING (doc_id) CROSS JOIN st
        |)""".stripMargin
 
+  // ---------- float32 ENGINE-kernel emulation ------------------------------
+  // DuckDB REAL arithmetic is true per-op float32 (verified exhaustively:
+  // every (doc, term) score over the whole corpus vocabulary at sf0.001/0.01/
+  // 0.1 is bit-identical to the JVM kernel). Literals MUST be written in
+  // scientific notation ("e0") — plain decimals parse as DECIMAL, whose
+  // REAL conversion truncates instead of rounding to nearest.
+
+  /** Exact float32 NORM_TABLE values (1f/(f*f), [[graft.score.Bm25.NormTable]])
+    * inlined as double literals — every float is exactly representable.
+    */
+  private val ntabValues: String =
+    graft.score.Bm25.NormTable.zipWithIndex.map { case (v, i) =>
+      val litv =
+        if (v.isInfinity) "CAST('infinity' AS REAL)"
+        else f"CAST(${v.toDouble}%.17e AS REAL)"
+      s"($i, $litv)"
+    }.mkString(", ")
+
+  private val k1p1 = "CAST(2.2000000476837158e0 AS REAL)" // (float)(1.2f + 1)
+  private val k1f = "CAST(1.2000000476837158e0 AS REAL)"  // 1.2f
+  private val fz = "CAST(0.0e0 AS REAL)"                  // x + 0.0f == x
+
+  /** Per-(doc, term) FLOAT32 BM25 scores `fsc.s` — the engine kernel
+    * ([[graft.score.Bm25]]) mirrored op-for-op in REAL arithmetic:
+    * idf = (float) ln(...), weightValue = idf * (k1+1), avgdl =
+    * (float)(sttf/n), cache = k1*((1-b) + b*NORM_TABLE[nb]/avgdl),
+    * s = wv*tf/(tf + cache). Boost-1 queries only (idf*1.0f == idf).
+    */
+  private val fprelude: String =
+    s"""$prelude, ntab(nb, nt) AS (VALUES $ntabValues
+       |), fstats AS (
+       |  SELECT CAST(CAST(st.sttf AS DOUBLE) / st.n AS REAL) AS avgdl, st.n AS n FROM st
+       |), fidf AS (
+       |  SELECT d.term, CAST(ln(1.0 + (fs2.n - d.df + 0.5) / (d.df + 0.5)) AS REAL) AS idf
+       |  FROM dfs d CROSS JOIN fstats fs2
+       |), fsc AS (
+       |  SELECT t.doc_id, t.term,
+       |    (i.idf * $k1p1) * CAST(t.tf AS REAL)
+       |      / (CAST(t.tf AS REAL)
+       |         + $k1f * (CAST(0.25e0 AS REAL) + (CAST(0.75e0 AS REAL) * ntab.nt) / fs.avgdl)) AS s
+       |  FROM tfs t JOIN fidf i USING (term) JOIN nbt b USING (doc_id)
+       |  JOIN ntab ON ntab.nb = b.nb CROSS JOIN fstats fs
+       |)""".stripMargin
+
   private def topk(where: String, k: Int = 10, having: String = ""): String =
     s"""$prelude
        |SELECT doc_id, ${qz("sum(s)")} AS score_q
@@ -201,6 +245,75 @@ object GateOracle {
          |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 1 AND 2
          |WHERE a.t IN ('fast', 'slow') AND b.t = 'table'
          |ORDER BY a.doc_id, start_pos, end_pos""".stripMargin,
+    // --- FLOAT32 ENGINE gates: the Spark side runs query.Searcher /
+    // WandSearcher end-to-end; these oracles rank by the bit-identical
+    // float32 score (REAL emulation), so top-k membership, order and the
+    // quantized projection all match exactly.
+    "ft_engine_term" ->
+      s"""$fprelude
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q
+         |FROM fsc WHERE term = 'vector' ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_or" ->
+      s"""$fprelude, piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'merge' THEN s END) AS s1,
+         |    max(CASE WHEN term = 'spark' THEN s END) AS s2,
+         |    max(CASE WHEN term = 'window' THEN s END) AS s3
+         |  FROM fsc WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id
+         |), tot AS (
+         |  -- float32 clause sum ascending term_id (merge < spark < window);
+         |  -- x + 0.0f == x, so zero-coalesce equals skipping absent clauses
+         |  SELECT doc_id, ((coalesce(s1, $fz) + coalesce(s2, $fz)) + coalesce(s3, $fz)) AS s
+         |  FROM piv
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_wand" ->
+      s"""$fprelude, piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'merge' THEN s END) AS s1,
+         |    max(CASE WHEN term = 'spark' THEN s END) AS s2,
+         |    max(CASE WHEN term = 'window' THEN s END) AS s3
+         |  FROM fsc WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id
+         |), tot AS (
+         |  SELECT doc_id, ((coalesce(s1, $fz) + coalesce(s2, $fz)) + coalesce(s3, $fz)) AS s
+         |  FROM piv
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_nested" ->
+      s"""$fprelude, piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'spark' THEN s END) AS ss,
+         |    max(CASE WHEN term = 'window' THEN s END) AS sw,
+         |    max(CASE WHEN term = 'merge' THEN s END) AS sm
+         |  FROM fsc WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id
+         |), tot AS (
+         |  -- (spark OR window) AND merge: group sum (ascending term_id)
+         |  -- then clause-order outer fold, both MUST clauses required
+         |  SELECT doc_id, ((coalesce(ss, $fz) + coalesce(sw, $fz)) + sm) AS s
+         |  FROM piv WHERE sm IS NOT NULL AND (ss IS NOT NULL OR sw IS NOT NULL)
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_phrase" ->
+      s"""$fprelude, ph AS (
+         |  SELECT a.doc_id, count(*) AS pf
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE a.t = 'fast' AND b.t = 'table' GROUP BY a.doc_id
+         |), wvp AS (
+         |  SELECT (((SELECT idf FROM fidf WHERE term = 'fast')
+         |          + (SELECT idf FROM fidf WHERE term = 'table')) * $k1p1) AS wv
+         |), tot AS (
+         |  SELECT ph.doc_id,
+         |    (wvp.wv * CAST(ph.pf AS REAL))
+         |      / (CAST(ph.pf AS REAL)
+         |         + $k1f * (CAST(0.25e0 AS REAL) + (CAST(0.75e0 AS REAL) * ntab.nt) / fs.avgdl)) AS s
+         |  FROM ph JOIN nbt b USING (doc_id) JOIN ntab ON ntab.nb = b.nb
+         |  CROSS JOIN wvp CROSS JOIN fstats fs
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_prefix_wide" ->
       s"""$prelude
