@@ -236,6 +236,10 @@ object Gate {
     }),
     "ft_engine_nested" -> ((s, d) =>
       engineTopk(s, d, graft.query.Query.parse("(spark OR window) AND merge"), 10)),
+    "ft_engine_dismax" -> ((s, d) =>
+      engineTopk(s, d, graft.query.Query.DisMax(
+        Seq(graft.query.Query.Term("spark"), graft.query.Query.Term("window")),
+        tieBreaker = 0.1f), 10)),
     "ft_engine_phrase" -> ((s, d) =>
       engineTopk(s, d, graft.query.Query.Phrase(Seq("fast", "table")), 10)),
     // --- search: term / boolean algebra / dismax / phrase ------------------

@@ -296,6 +296,26 @@ object GateOracle {
          |)
          |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_dismax" ->
+      s"""$fprelude, piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'spark' THEN s END) AS ss,
+         |    max(CASE WHEN term = 'window' THEN s END) AS sw
+         |  FROM fsc WHERE term IN ('spark', 'window') GROUP BY doc_id
+         |), tot AS (
+         |  -- DisjunctionMaxScorer: max + (sum - max) * tieBreaker, float32;
+         |  -- tb literal = 0.1f exactly
+         |  SELECT doc_id,
+         |    greatest(coalesce(ss, CAST('-infinity' AS REAL)),
+         |             coalesce(sw, CAST('-infinity' AS REAL)))
+         |    + (((coalesce(ss, $fz) + coalesce(sw, $fz))
+         |        - greatest(coalesce(ss, CAST('-infinity' AS REAL)),
+         |                   coalesce(sw, CAST('-infinity' AS REAL))))
+         |       * CAST(1.00000001490116119e-01 AS REAL)) AS s
+         |  FROM piv
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "ft_engine_phrase" ->
       s"""$fprelude, ph AS (
          |  SELECT a.doc_id, count(*) AS pf

@@ -40,7 +40,8 @@ final class BruteForce(docs: Seq[(Long, String)],
 
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
-         _: Query.MultiPhrase | _: Query.ConstantScore => true
+         _: Query.MultiPhrase | _: Query.ConstantScore |
+         _: Query.DisMax | _: Query.MatchAll => true
     case _ => false
   }
 
@@ -58,6 +59,18 @@ final class BruteForce(docs: Seq[(Long, String)],
         b.minShouldMatch)
     case p: Query.Phrase => runPositional(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => runPositional(mp.slots, mp.slop, mp.boost)
+    case Query.MatchAll(boost) => (0L until maxDoc).map(id => (id, boost))
+    case dm: Query.DisMax =>
+      // DisjunctionMaxScorer: max + tieBreaker * rest, sum in clause order
+      val kids: Seq[Map[Long, Float]] = dm.clauses.map(scoreAll(_).toMap)
+      val docs = kids.flatMap(_.keys).distinct.sorted
+      docs.map { id =>
+        var sum = 0.0f
+        var mx = Float.NegativeInfinity
+        kids.foreach(_.get(id).foreach { s => sum += s; if (s > mx) mx = s })
+        val sc = mx + (sum - mx) * dm.tieBreaker
+        (id, if (dm.boost == 1.0f) sc else dm.boost * sc)
+      }
     case Query.ConstantScore(mt, boost) if isMultiTermQ(mt) =>
       // constant-score filter: docs containing ANY matching term, score = boost
       val ts = expandMulti(mt).toSet

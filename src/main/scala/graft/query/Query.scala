@@ -92,6 +92,22 @@ object Query {
     */
   final case class ConstantScore(query: Query, boost: Float = 1.0f) extends Query
 
+  /** DisjunctionMaxQuery: score = max(clause scores) + tieBreaker * (sum of
+    * the others), float32
+    * (/root/reference/src/Lucene.Net/Search/DisjunctionMaxScorer.cs:60:
+    * `scoreMax + (scoreSum - scoreMax) * tieBreakerMultiplier`). Canonical
+    * float order: the sum folds in CLAUSE order (the reference's heap-walk
+    * order is structure-dependent; clause order is our deterministic
+    * contract, mirrored by the oracle).
+    */
+  final case class DisMax(clauses: Seq[Query], tieBreaker: Float = 0.0f,
+                          boost: Float = 1.0f) extends Query
+
+  /** MatchAllDocsQuery: every live doc scores exactly `boost`
+    * (/root/reference/src/Lucene.Net/Search/MatchAllDocsQuery.cs).
+    */
+  final case class MatchAll(boost: Float = 1.0f) extends Query
+
   /** PrefixQuery (/root/reference/src/Lucene.Net/Search/PrefixQuery.cs). */
   final case class Prefix(prefix: String, boost: Float = 1.0f) extends Query
 

@@ -90,7 +90,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     */
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
-         _: Query.MultiPhrase | _: Query.ConstantScore => true
+         _: Query.MultiPhrase | _: Query.ConstantScore |
+         _: Query.DisMax | _: Query.MatchAll => true
     case _ => false
   }
 
@@ -108,6 +109,12 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         b.minShouldMatch)
     case p: Query.Phrase => positionalScoreAll(p.terms.map(Seq(_)), p.slop, p.boost)
     case mp: Query.MultiPhrase => positionalScoreAll(mp.slots, mp.slop, mp.boost)
+    case Query.MatchAll(boost) =>
+      // MatchAllDocsQuery: every doc (the norms sidecar holds one row per
+      // doc); liveDocs apply at the top like every other path
+      spark.read.parquet(s"$indexDir/norms")
+        .select(col("doc_id"), lit(boost).cast("float").as("score"))
+    case dm: Query.DisMax => disMaxScoreAll(dm)
     case Query.ConstantScore(mt, boost) if Rewrite.isMultiTerm(mt) =>
       // constant-score FILTER rewrite (ConstantScoreAutoRewrite semantics):
       // the docset of every matching term, score = boost, never expanded
@@ -205,6 +212,44 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         }
       }
     folded.toDF("doc_id", "score")
+  }
+
+  /** DisjunctionMaxScorer fold: per doc, max over clause scores plus
+    * tieBreaker times the rest, float32 in clause order (see
+    * [[Query.DisMax]]); same doc-grouped shuffle shape as the nested
+    * boolean combine.
+    */
+  private def disMaxScoreAll(dm: Query.DisMax): DataFrame = {
+    require(dm.clauses.nonEmpty && dm.clauses.size <= Query.MaxClauseCount,
+      "DisMax needs 1..MaxClauseCount clauses")
+    val tagged = dm.clauses.zipWithIndex.map { case (sub, ci) =>
+      scoreAll(sub).select(col("doc_id"), lit(ci).as("ci"), col("score"))
+    }
+    val tb = dm.tieBreaker
+    val gb = dm.boost
+    tagged.reduce(_ unionByName _)
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "ci")
+      .as[(Long, Int, Float)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Float)] {
+          override def hasNext: Boolean = b.hasNext
+          override def next(): (Long, Float) = {
+            val doc = b.head._1
+            var sum = 0.0f
+            var mx = Float.NegativeInfinity
+            while (b.hasNext && b.head._1 == doc) {
+              val s = b.next()._3
+              sum += s
+              if (s > mx) mx = s
+            }
+            val sc = mx + (sum - mx) * tb
+            (doc, if (gb == 1.0f) sc else gb * sc)
+          }
+        }
+      }
+      .toDF("doc_id", "score")
   }
 
   private[graft] def rewriteClauses(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] =

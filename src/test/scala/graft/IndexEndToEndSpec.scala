@@ -162,6 +162,33 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.parse("-(time person) year")) // negated group
   }
 
+  test("DisjunctionMax: max + tieBreaker * rest, engine == oracle") {
+    check(Query.DisMax(Seq(Query.Term("time"), Query.Term("person"))))
+    check(Query.DisMax(Seq(Query.Term("time"), Query.Term("person")), tieBreaker = 0.1f))
+    check(Query.DisMax(Seq(
+      Query.Term("spark"), Query.Term("index"), Query.Term("search")), 0.3f, boost = 2.0f))
+    // nested: dismax over a phrase and a boolean group
+    check(Query.DisMax(Seq(
+      Query.Phrase(Seq("time", "person")),
+      Query.BoolQ(Seq((Query.Should, Query.Term("year")),
+        (Query.Should, Query.Term("way"))))), 0.5f))
+    // dismax as a clause inside a boolean
+    check(Query.BoolQ(Seq(
+      (Query.Must, Query.DisMax(Seq(Query.Term("time"), Query.Term("person")), 0.1f)),
+      (Query.Should, Query.Term("year")))))
+  }
+
+  test("MatchAllDocs: every doc scores the boost") {
+    val all = searcher.search(Query.MatchAll(), 100000).collect()
+    assert(all.length == oracle.maxDoc)
+    assert(all.forall(_.getFloat(1) == 1.0f))
+    check(Query.MatchAll(2.5f), k = 50)
+    // MUST_NOT carves out of MatchAll (the classic *:* -term shape)
+    check(Query.BoolQ(Seq(
+      (Query.Should, Query.MatchAll()),
+      (Query.MustNot, Query.Term("time")))))
+  }
+
   test("constant-score wrapper: every match scores the boost") {
     check(Query.ConstantScore(Query.Term("time"), 2.5f))
     check(Query.ConstantScore(Query.parse("time AND person")))
