@@ -762,12 +762,12 @@ object Gate {
     */
   def fuzzy2Query(spark: SparkSession, sfDir: String, qterm: String, k: Int): DataFrame = {
     import spark.implicits._
-    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
-    val cands = expand(spark, sfDir, levenshtein(col("term"), lit(qterm)) <= 2)
-      .map { t => (t, 1.0 - lev.apply(t, qterm).intValue() /
-        math.min(t.length, qterm.length).toDouble) }
-      .sortBy { case (t, sim) => (-sim, t) }
-      .take(50)
+    // distributed top-50 ranking (length-window + TakeOrdered — the collect
+    // is bounded by maxExpansions, same path as the engine's Rewrite)
+    val cands = graft.query.Rewrite.fuzzyTopIn(
+        termdict(spark, indexDir(spark, sfDir)),
+        graft.query.Query.Fuzzy(qterm, 2, maxExpansions = 50))
+      .map { case (t, d) => (t, 1.0 - d / math.min(t.length, qterm.length).toDouble) }
     if (cands.isEmpty) return emptyHits(spark).select(col("doc_id"), col("s").cast("long").as("score_q"))
     val boostDf = cands.toDF("term", "sim")
     rank(hits(spark, sfDir, cands.map(_._1))

@@ -73,21 +73,39 @@ private[graft] object Rewrite {
     * similarity = 1 - d/min(|candidate|,|query|) (the reference's accept
     * path, FuzzyTermsEnum.cs:419), ties by term, top maxExpansions kept
     * (TopTermsRewrite boost heap); expanded boost = clause boost * sim.
-    * The candidate enumeration is uncapped like the reference's terms-enum
-    * walk — the heap caps the CLAUSES, not the candidates.
+    *
+    * `fuzzyTop` ranks DISTRIBUTED (dictionary-side orderBy/limit — a
+    * TakeOrdered, never a full-dictionary collect) and returns the capped
+    * (term, distance) list; ranking by the double similarity is identical
+    * to the float32 boost ordering because the rationals 1 - d/m (d <= 2,
+    * m <= 255) are spaced >= 1/65025, far wider than either rounding.
     */
-  def fuzzyExpansion(expand: (Column, Int) => Seq[String],
-                     f: Query.Fuzzy): Seq[(String, Float)] = {
-    val cands = expand(levenshtein(col("term"), lit(f.term)) <= f.maxEdits, 1 << 20)
-    cands
-      .map { t =>
-        val d = org.apache.commons.text.similarity.LevenshteinDistance
-          .getDefaultInstance.apply(t, f.term).intValue()
-        (t, 1.0f - d.toFloat / math.min(t.length, f.term.length))
-      }
-      .sortBy { case (t, sim) => (-sim, t) }
-      .take(f.maxExpansions)
-      .map { case (t, sim) => (t, f.boost * sim) }
+  def fuzzyExpansion(fuzzyTop: Query.Fuzzy => Seq[(String, Int)],
+                     f: Query.Fuzzy): Seq[(String, Float)] =
+    fuzzyTop(f).map { case (t, d) =>
+      (t, f.boost * (1.0f - d.toFloat / math.min(t.length, f.term.length)))
+    }
+
+  /** The shared distributed fuzzy ranking over a term-dictionary DataFrame:
+    * a length window (|len - |q|| <= maxEdits bounds levenshtein from below)
+    * prunes before the distance filter, then top-N by (similarity desc,
+    * term asc) with orderBy/limit.
+    */
+  def fuzzyTopIn(termdict: org.apache.spark.sql.DataFrame,
+                 f: Query.Fuzzy): Seq[(String, Int)] = {
+    import org.apache.spark.sql.functions.{abs, asc, desc, least, length}
+    val spark = termdict.sparkSession
+    import spark.implicits._
+    termdict
+      .filter(abs(length(col("term")) - lit(f.term.length)) <= f.maxEdits)
+      .withColumn("d", levenshtein(col("term"), lit(f.term)))
+      .filter(col("d") <= f.maxEdits)
+      .withColumn("sim",
+        lit(1.0) - col("d") / least(length(col("term")), lit(f.term.length)).cast("double"))
+      .orderBy(desc("sim"), asc("term"))
+      .limit(f.maxExpansions)
+      .select(col("term"), col("d").cast("int"))
+      .as[(String, Int)].collect().toSeq
   }
 
   /** Rewrite-method pre-pass over a boolean's clauses (see object doc).
@@ -95,6 +113,7 @@ private[graft] object Rewrite {
     * expansion) — conjunction semantics empty the whole query.
     */
   def harden(expand: (Column, Int) => Seq[String],
+             fuzzyTop: Query.Fuzzy => Seq[(String, Int)],
              cs: Seq[(Query.Occur, Query)]): Option[Seq[(Query.Occur, Query)]] = {
     val out = cs.map {
       case (occ, mt) if isMultiTerm(mt) =>
@@ -109,7 +128,7 @@ private[graft] object Rewrite {
               (Query.Should: Query.Occur, Query.Term(t, b): Query))): Query)
         } else (occ, mt)
       case (Query.Must, f: Query.Fuzzy) =>
-        val exp = fuzzyExpansion(expand, f)
+        val exp = fuzzyExpansion(fuzzyTop, f)
         if (exp.isEmpty) return None
         (Query.Must: Query.Occur,
           Query.BoolQ(exp.map { case (t, b) =>
@@ -124,6 +143,7 @@ private[graft] object Rewrite {
     * multi-term leaf is within the cap and none sits under MUST.
     */
   def clauses(expand: (Column, Int) => Seq[String],
+              fuzzyTop: Query.Fuzzy => Seq[(String, Int)],
               clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] = {
     def expansion(q: Query): Seq[(String, Float)] = q match {
       case mt if isMultiTerm(mt) =>
@@ -134,7 +154,7 @@ private[graft] object Rewrite {
           throw new IllegalStateException(
             s"flat lowering of an over-cap expansion — caller must harden() first: $q")
         ts.map(t => (t, b))
-      case f: Query.Fuzzy => fuzzyExpansion(expand, f)
+      case f: Query.Fuzzy => fuzzyExpansion(fuzzyTop, f)
       case other =>
         throw new IllegalStateException(
           s"clause not executable in a flat boolean — caller must harden() first: $other")

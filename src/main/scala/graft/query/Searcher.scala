@@ -82,6 +82,12 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     termdictDf.filter(pred).select("term").as[String]
       .orderBy("term").limit(maxTerms + 1).collect().toSeq
 
+  /** Distributed fuzzy top-N over the cached dictionary (length-window
+    * pre-filter, TakeOrdered by similarity — the collect is bounded by
+    * maxExpansions, never by the candidate count).
+    */
+  def fuzzyTop(f: Query.Fuzzy): Seq[(String, Int)] = Rewrite.fuzzyTopIn(termdictDf, f)
+
   def search(q: Query, k: Int): DataFrame =
     live(scoreAll(q)).orderBy(desc("score"), asc("doc_id")).limit(k)
 
@@ -122,7 +128,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
     case Query.ConstantScore(sub, boost) =>
       scoreAll(sub).select(col("doc_id"), lit(boost).cast("float").as("score"))
     case bq0: Query.BoolQ =>
-      Rewrite.harden(expand, bq0.clauses) match {
+      Rewrite.harden(expand, fuzzyTop, bq0.clauses) match {
         case None => emptyResult // a MUST clause provably matches nothing
         case Some(cs) =>
           val bq = Query.BoolQ(cs, bq0.minShouldMatch, bq0.boost)
@@ -253,7 +259,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   }
 
   private[graft] def rewriteClauses(clauses: Seq[(Query.Occur, Query)]): Seq[(String, Query.Occur, Float)] =
-    Rewrite.clauses(expand, clauses)
+    Rewrite.clauses(expand, fuzzyTop, clauses)
 
   /** Per-doc scored hits for the positive clauses + the boolean combine.
     * Returns ALL matching (doc_id: Long, score: Float) rows.

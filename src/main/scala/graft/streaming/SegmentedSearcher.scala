@@ -54,6 +54,14 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
       .reduce(_ union _)
       .distinct().orderBy("term").limit(maxTerms + 1).collect().toSeq
 
+  /** Distributed fuzzy top-N over the UNION dictionary (same ranking as the
+    * batch searcher).
+    */
+  private def fuzzyTop(f: Query.Fuzzy): Seq[(String, Int)] =
+    graft.query.Rewrite.fuzzyTopIn(
+      parts.map(d => spark.read.parquet(s"$d/termdict").select("term"))
+        .reduce(_ union _).distinct(), f)
+
   private def isFlatLeaf(q: Query): Boolean = q match {
     case _: Query.Term | _: Query.Prefix | _: Query.Wildcard | _: Query.Regexp |
          _: Query.TermRange | _: Query.Fuzzy => true
@@ -81,14 +89,14 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
         // harden pre-pass handles MUST-side expansions and over-cap
         // constant-score shapes; the snapshot reader executes only the flat
         // outcomes (nested/constant-score need compact() first — documented).
-        graft.query.Rewrite.harden(expand, cs) match {
+        graft.query.Rewrite.harden(expand, fuzzyTop, cs) match {
           case None =>
             return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
           case Some(hs) =>
             require(hs.forall(c => isFlatLeaf(c._2)),
               "segmented snapshot: MUST-side or over-cap multi-term expansion " +
                 "needs a compacted base (compact() first)")
-            val rewritten = graft.query.Rewrite.clauses(expand, hs)
+            val rewritten = graft.query.Rewrite.clauses(expand, fuzzyTop, hs)
               .map { case (t, occ, b) => (occ, Query.Term(t, b): Query) }
             return search(Query.BoolQ(rewritten, mm0), k)
         }
