@@ -341,50 +341,88 @@ object IndexBuilder {
   private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)],
                                analyzer: TextAnalyzer = Analyzer,
                                positions: Boolean = true): Iterator[Run] = {
+    // Per-term growable PRIMITIVE postings buffers. The per-token path
+    // allocates nothing beyond the token strings themselves: no per-doc
+    // tf/positions map, no boxed appends (an earlier boxed-ArrayBuffer
+    // version cost ~1 heap box per posting plus 1-2 Options per token —
+    // measurable GC pressure on the bandwidth-saturated 4-thread side of
+    // the scaling pair). The norm byte is known BEFORE the posting pass by
+    // pre-counting emitted tokens in the already-materialized token buffer,
+    // so postings never need a doc-end fixup. Positions go to one flat
+    // int buffer per term; a posting's tf grows only while it is the
+    // term's last posting, so its position block stays contiguous.
     final class Acc {
-      val docs = new mutable.ArrayBuffer[Long]()
-      val tfs = new mutable.ArrayBuffer[Int]()
-      val norms = new mutable.ArrayBuffer[Byte]()
-      val poss = new mutable.ArrayBuffer[Array[Int]]()
+      var docs = new Array[Long](4)
+      var tfs = new Array[Int](4)
+      var norms = new Array[Byte](4)
+      var n = 0
+      var lastDoc = -1L
+      var pos: Array[Int] = if (positions) new Array[Int](8) else null
+      var posN = 0
+      def startPosting(doc: Long, nb: Byte): Unit = {
+        if (n == docs.length) {
+          docs = java.util.Arrays.copyOf(docs, n * 2)
+          tfs = java.util.Arrays.copyOf(tfs, n * 2)
+          norms = java.util.Arrays.copyOf(norms, n * 2)
+        }
+        docs(n) = doc; tfs(n) = 1; norms(n) = nb; n += 1; lastDoc = doc
+      }
+      def addPos(p: Int): Unit = {
+        if (posN == pos.length) pos = java.util.Arrays.copyOf(pos, posN * 2)
+        pos(posN) = p; posN += 1
+      }
     }
     val terms = new mutable.HashMap[String, Acc]()
-    val normDocs = new mutable.ArrayBuffer[Long]()
-    val normLens = new mutable.ArrayBuffer[Int]()
+    var normDocs = new Array[Long](1024)
+    var normLens = new Array[Int](1024)
+    var normN = 0
     it.foreach { case (docId, text) =>
       val txt = if (text == null) "" else text
-      if (positions) {
-        val (tp, len) = analyzer.termPositions(txt)
-        val nb = SmallFloat.encodeNorm(len)
-        normDocs += docId
-        normLens += len
-        tp.foreach { case (t, ps) =>
+      val toks = analyzer.tokens(txt)
+      var len = 0
+      var i = 0
+      while (i < toks.length) { if (toks(i) ne null) len += 1; i += 1 }
+      val nb = SmallFloat.encodeNorm(len)
+      if (normN == normDocs.length) {
+        normDocs = java.util.Arrays.copyOf(normDocs, normN * 2)
+        normLens = java.util.Arrays.copyOf(normLens, normN * 2)
+      }
+      normDocs(normN) = docId; normLens(normN) = len; normN += 1
+      i = 0
+      var p = -1
+      while (i < toks.length) {
+        val t = toks(i)
+        p += 1
+        if (t ne null) {
           val acc = terms.getOrElseUpdate(t, new Acc)
-          acc.docs += docId
-          acc.tfs += ps.length
-          acc.norms += nb
-          acc.poss += ps.toArray
+          if (acc.n == 0 || acc.lastDoc != docId) acc.startPosting(docId, nb)
+          else acc.tfs(acc.n - 1) += 1
+          if (positions) acc.addPos(p)
         }
-      } else {
-        val (tf, len) = analyzer.termFreqs(txt)
-        val nb = SmallFloat.encodeNorm(len)
-        normDocs += docId
-        normLens += len
-        tf.foreach { case (t, f) =>
-          val acc = terms.getOrElseUpdate(t, new Acc)
-          acc.docs += docId
-          acc.tfs += f
-          acc.norms += nb
-        }
+        i += 1
       }
     }
     val termRuns = terms.iterator.flatMap { case (term, acc) =>
-      chunkedRuns(pid, term, acc.docs.toArray, acc.tfs.toArray, acc.norms.toArray,
-        if (positions) acc.poss.toArray else null)
+      val docs = java.util.Arrays.copyOf(acc.docs, acc.n)
+      val tfs = java.util.Arrays.copyOf(acc.tfs, acc.n)
+      val norms = java.util.Arrays.copyOf(acc.norms, acc.n)
+      val poss = if (!positions) null else {
+        val out = new Array[Array[Int]](acc.n)
+        var off = 0
+        var i = 0
+        while (i < acc.n) {
+          out(i) = java.util.Arrays.copyOfRange(acc.pos, off, off + tfs(i))
+          off += tfs(i)
+          i += 1
+        }
+        out
+      }
+      chunkedRuns(pid, term, docs, tfs, norms, poss)
     }
     val normsRun =
-      if (normDocs.isEmpty) Iterator.empty
-      else chunkedRuns(pid, NormsKey, normDocs.toArray, normLens.toArray,
-        new Array[Byte](normDocs.length), null)
+      if (normN == 0) Iterator.empty
+      else chunkedRuns(pid, NormsKey, java.util.Arrays.copyOf(normDocs, normN),
+        java.util.Arrays.copyOf(normLens, normN), new Array[Byte](normN), null)
     termRuns ++ normsRun
   }
 
