@@ -1032,52 +1032,83 @@ object Gate {
     java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
   }
 
-  /** LSH-bucketed approximate nearest neighbours: 16 deterministic
-    * md5-derived random hyperplanes -> 65536 sign buckets, MULTI-PROBE over
-    * every bucket within Hamming distance 3 of the query's (697 probes ~ 1%
-    * of the bucket space, an explicit probe set that prunes a
-    * bucket-partitioned table at scale), exact cosine re-rank within the
-    * probed buckets (the scale path next to the brute-force sim_topk
-    * baseline).
+  /** The 16 deterministic md5-derived sign hyperplanes shared by the ANN-LSH
+    * write and probe paths: h(p)[j] = (first byte of md5(p|j)) - 127.5 —
+    * identical arithmetic in the oracle SQL.
     */
-  def annLsh(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    import spark.implicits._
-    val NumPlanes = 16
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val dim = emb.head()._2.length
-    // hyperplane h(p)[j] = (first-byte of md5(p|j)) - 127.5  — identical in SQL
-    val planes: Array[Array[Double]] = Array.tabulate(NumPlanes) { p =>
+  private def lshPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
       Array.tabulate(dim) { j =>
         Integer.parseInt(
           org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p|$j").substring(0, 2),
           16) - 127.5
       }
     }
-    val bp = spark.sparkContext.broadcast(planes)
-    def bucketOf(e: Array[Float]): Int = {
-      var bits = 0
-      var p = 0
-      while (p < NumPlanes) {
-        var dot = 0.0
-        var j = 0
-        while (j < e.length) { dot += e(j).toDouble * bp.value(p)(j); j += 1 }
-        if (dot >= 0) bits |= (1 << p)
-        p += 1
-      }
-      bits
+
+  private def lshBucket(e: Array[Float], planes: Array[Array[Double]]): Int = {
+    var bits = 0
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < e.length) { dot += e(j).toDouble * planes(p)(j); j += 1 }
+      if (dot >= 0) bits |= (1 << p)
+      p += 1
     }
-    val withBuckets = emb.map { case (id, e) => (id, e, bucketOf(e)) }
-    val (qid, qv, qb) = withBuckets.filter(_._1 == 0L).head()
+    bits
+  }
+
+  val AnnLshPlanes = 16
+
+  /** WRITE-TIME bucket assignment: the embeddings table re-materialized with
+    * the 16-plane sign bucket as a PARTITION column, so a probe set prunes
+    * file listings instead of filtering a full scan (built once per sf,
+    * cached like the index).
+    */
+  def annLshDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#annlsh", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-ann-lsh-$name"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        import spark.implicits._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val dim = emb.head()._2.length
+        val bp = spark.sparkContext.broadcast(lshPlanes(AnnLshPlanes, dim))
+        emb.map { case (id, e) => (id, e, lshBucket(e, bp.value)) }
+          .toDF("vec_id", "embedding", "bucket")
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      }
+      dir
+    })
+
+  /** LSH-bucketed approximate nearest neighbours: 16 deterministic
+    * md5-derived random hyperplanes -> 65536 sign buckets written as a
+    * PARTITION column at ingest ([[annLshDir]]), MULTI-PROBE over every
+    * bucket within Hamming distance 3 of the query's (697 probes ~ 1% of the
+    * bucket space, pushed as a PartitionFilters IN-set so only probed
+    * partitions are even listed), exact cosine re-rank within the probed
+    * buckets (the scale path next to the brute-force sim_topk baseline).
+    */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val bucketed = spark.read.parquet(annLshDir(spark, sfDir))
+    // query vector: a point lookup on the base table (pushed-down vec_id=0)
+    val qv: Array[Float] = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].filter(_._1 == 0L).head()._2
+    val qb = lshBucket(qv, lshPlanes(AnnLshPlanes, qv.length))
     // multi-probe set: the query bucket plus all 1-, 2- and 3-bit flips
-    val probeSet: Set[Int] =
-      (0 until (1 << NumPlanes)).iterator
-        .filter(b => Integer.bitCount(b ^ qb) <= 3).toSet
+    val probes: Seq[Int] =
+      (0 until (1 << AnnLshPlanes)).filter(b => Integer.bitCount(b ^ qb) <= 3)
     val bq = spark.sparkContext.broadcast(qv.map(_.toDouble))
     val nq = math.sqrt(bq.value.map(x => x * x).sum)
-    withBuckets.filter(r => probeSet.contains(r._3) && r._1 != qid)
-      .map { case (id, e, _) =>
+    bucketed
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
         var dot = 0.0; var ne = 0.0; var j = 0
         while (j < e.length) {
           val x = e(j).toDouble
@@ -1093,50 +1124,91 @@ object Gate {
       .limit(k)
   }
 
-  /** IVF approximate nearest neighbours: a deterministic coarse quantizer
-    * (centroids = the vectors of ids 1..nlist — the "trained on a sample"
-    * stand-in; a production build k-means-trains them, the plumbing is
-    * identical), every vector assigned to its L2-nearest list, the query
-    * probing the nprobe nearest lists, exact cosine re-rank inside them.
-    * At scale the assignment is a write-time partition column, so a probe
-    * reads nprobe/nlist of the table.
+  /** IVF list count: ~sqrt(N) (the standard rule — per-list population and
+    * list count grow together), floored at 8 so tiny corpora keep a real
+    * multi-list structure. Mirrored in the oracle SQL.
     */
-  def annIvf(spark: SparkSession, sfDir: String, k: Int,
-             nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+  def ivfNlist(n: Long): Int = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** L2^2 to a centroid, ascending-index sum (matches the SQL list_sum). */
+  private def ivfD2(e: Array[Float], c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < e.length) {
+      val x = e(i).toDouble - c(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  /** Deterministic coarse-quantizer centroids: the vectors of ids 1..nlist
+    * (the "trained on a sample" stand-in; a production build k-means-trains
+    * them, the plumbing is identical).
+    */
+  private def ivfCentroids(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val centroids: Array[(Long, Array[Double])] = emb
-      .filter(r => r._1 >= 1 && r._1 <= nlist)
+    val nlist = ivfNlist(emb.count())
+    emb.filter(r => r._1 >= 1 && r._1 <= nlist)
       .collect().sortBy(_._1)
       .map { case (id, e) => (id, e.map(_.toDouble)) }
-    val bc = spark.sparkContext.broadcast(centroids)
-    // L2^2 to each centroid, ascending-index sum (matches the SQL list_sum)
-    def d2(e: Array[Float], c: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < e.length) {
-        val x = e(i).toDouble - c(i)
-        acc += x * x
-        i += 1
+  }
+
+  /** WRITE-TIME IVF assignment: the embeddings table re-materialized with
+    * each vector's L2-nearest list id as a PARTITION column (nlist ~ sqrt(N)
+    * directories), so an nprobe-list probe reads ~nprobe/nlist of the table
+    * by partition pruning (built once per sf, cached like the index).
+    */
+  def annIvfDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#annivf", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-ann-ivf-$name"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, e) =>
+            val list = bc.value.map { case (cid, cv) => (ivfD2(e, cv), cid) }.min._2
+            (id, e, list)
+          }
+          .toDF("vec_id", "embedding", "list")
+          .write.mode("overwrite").partitionBy("list").parquet(dir)
       }
-      acc
-    }
-    def nearest(e: Array[Float]): Long =
-      bc.value.map { case (cid, cv) => (d2(e, cv), cid) }.min._2
-    val qv: Array[Double] = emb.filter(_._1 == 0L).head()._2.map(_.toDouble)
-    val probes: Set[Long] = centroids
+      dir
+    })
+
+  /** IVF approximate nearest neighbours over the list-partitioned table
+    * ([[annIvfDir]]): the query probes its nprobe nearest lists — an IN-set
+    * on the partition column, so only probed lists are read — with exact
+    * cosine re-rank inside them.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int,
+             nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val listed = spark.read.parquet(annIvfDir(spark, sfDir))
+    val centroids = ivfCentroids(spark, sfDir)
+    val qv: Array[Double] = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].filter(_._1 == 0L).head()._2.map(_.toDouble)
+    val probes: Seq[Long] = centroids
       .map { case (cid, cv) =>
         var acc = 0.0
         var i = 0
         while (i < qv.length) { val x = qv(i) - cv(i); acc += x * x; i += 1 }
         (acc, cid)
       }
-      .sorted.take(nprobe).map(_._2).toSet
+      .sorted.take(nprobe).map(_._2).toSeq
     val bq = spark.sparkContext.broadcast(qv)
     val nq = math.sqrt(qv.map(x => x * x).sum)
-    emb.filter(r => r._1 != 0L && probes.contains(nearest(r._2)))
+    listed
+      .filter(col("list").isin(probes: _*) && col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .map { case (id, e) =>
         var dot = 0.0; var ne = 0.0; var j = 0
         while (j < e.length) {

@@ -755,7 +755,9 @@ object GateOracle {
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
          |  FROM embeddings
          |), c AS (
-         |  SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id BETWEEN 1 AND 8
+         |  SELECT vec_id AS cid, ev AS cv FROM e
+         |  WHERE vec_id BETWEEN 1 AND
+         |    (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)
          |), dist AS (
          |  SELECT e.vec_id, c.cid,
          |    list_sum(list_transform(range(1, len(e.ev) + 1),
