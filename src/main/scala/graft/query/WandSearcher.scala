@@ -72,12 +72,26 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       searchShould(Seq((t, boost)), k)
     case Query.Bool(Nil, should, Nil, mm) if mm <= 1 && should.nonEmpty =>
       searchShould(should.map((_, 1.0f)), k)
+    case Query.Bool(must, should, Nil, mm)
+      if must.distinct.size == 1 &&
+        mm - should.distinct.count(must.contains) <= 0 =>
+      // single-MUST conjunction (the everyday "+required optional ..."):
+      // the result set is EXACTLY the must term's posting set, which is what
+      // makes a scan-side theta sound here — see searchMustShould.
+      searchMustShould(must.head, should.distinct.filterNot(_ == must.head), k)
     case Query.BoolQ(cs, mm, gb) if mm <= 1 && gb == 1.0f && cs.nonEmpty &&
       cs.forall { case (o, c) => o == Query.Should && c.isInstanceOf[Query.Term] } =>
       searchShould(cs.map { case (_, t: Query.Term) => (t.term, t.boost); case _ => null }, k)
     case other =>
-      // MUST / NOT / min-should-match / phrase change the bound algebra;
-      // those run on the exhaustive path (same results, no pruning).
+      // multi-MUST / NOT / unmet min-should-match / phrase run on the
+      // exhaustive path (same results, no pruning). This is a SOUNDNESS
+      // boundary, not a TODO: with >= 2 MUST terms (or a residual mm, or a
+      // NOT clause) the per-term clause-score heap no longer lower-bounds
+      // the k-th best FINAL total — the k-th best clause score over one
+      // term's postings can exceed the k-th best total over the (smaller)
+      // intersection/filtered result set, so a theta grown from it would
+      // skip blocks holding true top-k docs. A sound theta for those shapes
+      // needs verified totals (reduce-side), i.e. a seed job — future work.
       base.search(other, k)
   }
 
@@ -86,6 +100,113 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val c = w.cache(maxNb & 0xff).toDouble
     if (c.isInfinity) 0.0
     else w.weightValue.toDouble * maxTf / (maxTf + c)
+  }
+
+  /** Pruned single-MUST conjunction (`+m s1 s2 ...`, mm satisfied, no NOT).
+    *
+    * Soundness of theta here: the result set is EXACTLY docs(m) (the one
+    * MUST is required, shoulds are optional), and every clause score is
+    * non-negative, so any doc of m has final total >= its m-clause score —
+    * a per-partition k-heap of exact m-clause scores lower-bounds the k-th
+    * best FINAL total. The block bound is the same rest-sum algebra as the
+    * disjunction path: bound(b of i) = (ub_i(b) + Σ_{j≠i} gmax_j) * slack
+    * >= any contained doc's true float total (MUST only shrinks who
+    * matches, never raises scores). Skipping any term's block with
+    * bound < theta is then rank- and score-safe by the usual argument: a
+    * skipped doc's total < theta <= k-th best total, so it cannot enter the
+    * top k (if its MUST evidence was skipped it is dropped entirely —
+    * equally fine), while every true top-k doc's blocks all survive
+    * (their bounds >= its total >= theta) so its score stays exact.
+    * SHOULD-term postings never grow theta (a should doc needn't match m).
+    */
+  private def searchMustShould(mustTerm: String, shoulds: Seq[String], k: Int): DataFrame = {
+    val dict: Map[String, TermDictRow] = base.lookup(mustTerm +: shoulds)
+    if (!dict.contains(mustTerm)) // absent MUST -> conjunction matches nothing
+      return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+    val st = base.stats
+    val weights: Map[Long, Bm25.TermWeight] = dict.values.map { d =>
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, 1.0f)
+    }.toMap
+    val ids = weights.keySet.toSeq.sorted
+    val mustId = dict(mustTerm).term_id
+
+    val slack: Double = 1.0 + (ids.size + 4) * 1.2e-7
+    val gmaxD: Map[Long, Double] = dict.values.map { d =>
+      d.term_id -> ubD(weights(d.term_id), d.max_tf, d.max_nb)
+    }.toMap
+    val restD: Map[Long, Double] =
+      ids.map(i => i -> ids.iterator.filter(_ != i).map(gmaxD).sum).toMap
+
+    val skipped = spark.sparkContext.longAccumulator("wand.skippedBlocks")
+    val scanned = spark.sparkContext.longAccumulator("wand.scannedBlocks")
+    lastSkipped = Some(skipped)
+    lastScanned = Some(scanned)
+    val bw = spark.sparkContext.broadcast(weights)
+    val bRest = spark.sparkContext.broadcast(restD)
+    val kk = k
+    val mId = mustId
+
+    import graft.codec.ScoreSpanBlock
+    val tiOf: Map[Long, Int] = ids.zipWithIndex.toMap // ids sorted asc
+    val bTi = spark.sparkContext.broadcast(tiOf)
+    val width = PositionalScan.bucketWidth(spark, st.max_doc)
+    val tagged = postings
+      .filter(col("term_id").isin(ids: _*))
+      .select(ScoreSpanBlock.cols.map(col): _*)
+      .as[ScoreSpanBlock]
+      .mapPartitions { blocks =>
+        val w = bw.value
+        val rest = bRest.value
+        val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
+        var theta = Double.NegativeInfinity
+        blocks.flatMap { b =>
+          val tw = w(b.term_id)
+          val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
+          if (bound < theta) {
+            skipped.add(1)
+            Iterator.empty
+          } else {
+            scanned.add(1)
+            if (b.term_id == mId) {
+              // only the MUST term's clause scores may grow theta
+              val (_, tfs, nbs) = PostingCodec.decode(
+                ScoreBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
+                  b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
+              var i = 0
+              while (i < b.cnt) {
+                val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
+                if (heap.size < kk) heap.offer(s)
+                else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+                if (heap.size == kk) {
+                  val cand = heap.peek().toDouble
+                  if (cand > theta) theta = cand
+                }
+                i += 1
+              }
+            }
+            val ti = bTi.value(b.term_id)
+            // MUST leads (rank 0): only it establishes per-doc state
+            val rank = if (b.term_id == mId) 0 else 1
+            PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+              BlockCombine.Tagged(bk, rank, ti, b.first_doc, b.cnt,
+                b.doc_bytes, b.tf_bytes, b.norm_bytes))
+          }
+        }
+      }
+    val scorers: Array[graft.score.Similarity.TermScorer] =
+      ids.map { tid =>
+        val tw = weights(tid)
+        val f: graft.score.Similarity.TermScorer =
+          (tf: Float, nb: Byte) => Bm25.score(tw.weightValue, tf, tw.cache, nb)
+        f
+      }.toArray
+    BlockCombine.combine(spark, tagged, scorers,
+      isMust = ids.map(_ == mId).toArray,
+      isNot = Array.fill(ids.size)(false),
+      nMust = 1, mm = 0, width = width)
+      .toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
   }
 
   private def searchShould(terms: Seq[(String, Float)], k: Int): DataFrame = {

@@ -43,8 +43,46 @@ class WandSpec extends AnyFunSuite {
   }
 
   test("MUST/NOT fall back to the exhaustive path, still identical") {
-    both(Query.Bool(must = Seq("time", "person")))
+    both(Query.Bool(must = Seq("time", "person"))) // 2 MUSTs: sound theta needs totals
     both(Query.Bool(should = Seq("time"), mustNot = Seq("person")))
+  }
+
+  test("single-MUST conjunctions: pruned path identical to exhaustive") {
+    both(Query.Bool(must = Seq("time"), should = Seq("person")))
+    both(Query.Bool(must = Seq("w001234"), should = Seq("time", "person"))) // rare must, hot shoulds
+    both(Query.Bool(must = Seq("time"), should = Seq("w001234"))) // hot must, rare should
+    both(Query.Bool(must = Seq("time"), should = Seq("zzzznothere")))
+    both(Query.Bool(must = Seq("zzzznothere"), should = Seq("time"))) // absent MUST -> empty
+    both(Query.Bool(must = Seq("time"), should = Seq("time"))) // duplicated term
+    both(Query.Bool(must = Seq("time"), should = Seq("time"), minShouldMatch = 1)) // mm credited by the dup
+    both(Query.Bool(must = Seq("time"), should = Seq("year", "way", "day")))
+  }
+
+  test("single-MUST pruning actually skips blocks on a hot conjunction") {
+    // On this tiny corpus a hot+hot pair can't prune (every block bound
+    // carries the other term's gmax as rest, and theta never clears it —
+    // same block-granularity reality as the hot+rare disjunction note
+    // below); with the optional clause absent from the dictionary rest=0
+    // and the MUST heap must skip the hot tail like the single-term case.
+    wand.search(Query.Bool(must = Seq("time"), should = Seq("zzzznothere")), 3).collect()
+    val skipped = wand.lastSkipped.get.value
+    val scanned = wand.lastScanned.get.value
+    assert(skipped + scanned > 0)
+    assert(skipped > 0, s"expected some skipped blocks (scanned=$scanned)")
+  }
+
+  test("tight ties on the MUST path: strict skip keeps equal-bound blocks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wand_must_ties").toString
+    val docs = (0L until 600L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    IndexBuilder.build(docs, dir)
+    val ex = new Searcher(spark, dir)
+    val wd = new WandSearcher(spark, dir)
+    val q = Query.Bool(must = Seq("alpha"), should = Seq("beta"))
+    val a = ex.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = wd.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.map(_._1) == (0L until 10L))
   }
 
   test("pruning actually skips blocks on a hot single-term query") {
