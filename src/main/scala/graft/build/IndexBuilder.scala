@@ -76,7 +76,42 @@ object IndexBuilder {
       //         highlighting supported; ~1 varint byte per occurrence),
       // false = DOCS_AND_FREQS (BM25 top-k only; positional queries on such
       //         an index raise a clear error).
-      positions: Boolean = true)
+      positions: Boolean = true,
+      // Split size for re-reading the `runs` table in S2-S4. Runs rows are
+      // blob-dense, so the 128 MB default yields a handful of fat splits and
+      // every single-pass downstream stage (norms/termdict/docmap decode, the
+      // S4 map side) quantizes to a fraction of the worker slots. 32 MB keeps
+      // those stages wave-balanced at ANY worker count — split sizing is
+      // data-driven, identical at every parallelism level, and still yields
+      // multi-second tasks (a 100 TB run table => ~3M splits across a
+      // 1000-executor cluster, comfortably amortized).
+      runSplitBytes: Long = 32L << 20)
+
+  /** Run `body` with build-scoped SQL confs (split size + range-exchange
+    * sample size), restoring the caller's values after. Nested scopes restore
+    * pairwise, so the concurrent docmap future and buildFromRuns compose.
+    */
+  private def withBuildConfs[A](spark: SparkSession, opts: Options)(body: => A): A = {
+    val conf = spark.conf
+    val keys = Seq(
+      // See Options.runSplitBytes.
+      "spark.sql.files.maxPartitionBytes" -> opts.runSplitBytes.toString,
+      // S4's range boundaries must cut the run table into EQUAL posting-mass
+      // partitions (rows are posting-count-uniform by RunMaxPostings
+      // chunking, so row balance == byte balance). The 100-row/partition
+      // default sketch over a handful of fat splits leaves boundary noise
+      // that shows up as a 2-3x straggler on the merge reducers; a 2000-row
+      // reservoir per input split is still metadata-sized and makes the cuts
+      // tight at any scale.
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "2000")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 
   /** Entry point for the transcripts north star: ONE pass over the text.
     *
@@ -126,6 +161,7 @@ object IndexBuilder {
     // timeshares the task slots across jobs, shrinking the serial tail).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    withBuildConfs(spark, opts) {
     val docmapF = Future {
       if (!manifest.isDone("docmap")) {
         val t0 = System.nanoTime()
@@ -143,6 +179,7 @@ object IndexBuilder {
     }
     buildFromRuns(outDir, opts.copy(overwrite = false))
     Await.result(docmapF, scala.concurrent.duration.Duration.Inf)
+    } // withBuildConfs
   }
 
   /** Tokenize one sorted partition, emitting posting runs AND the docmap
@@ -233,6 +270,7 @@ object IndexBuilder {
     val spark = SparkSession.active
     import spark.implicits._
     val manifest = new ManifestStore(outDir, spark)
+    withBuildConfs(spark, opts) {
     val p = partitions(spark, opts)
     val runs = spark.read.parquet(s"$outDir/runs").as[Run]
     val offsets = runOffsets(spark, outDir)
@@ -319,6 +357,7 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(s"$outDir/stats")
       manifest.commit("stats", 1L, ms(t0), Some(s"$outDir/stats"))
     }
+    } // withBuildConfs
   }
 
   final case class KeyedRun(
