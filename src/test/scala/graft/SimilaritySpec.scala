@@ -7,7 +7,8 @@ import graft.model.CollectionStats
 import graft.oracle.BruteForce
 import graft.query.{Query, Searcher}
 import graft.score.{Bm25, Bm25Similarity, ClassicSimilarity, DFRSimilarity,
-  IBSimilarity, LMDirichletSimilarity, LMJelinekMercerSimilarity,
+  DfrAfterEffect, DfrBasicModel, DfrNormalization, IBSimilarity,
+  IbDistribution, IbLambda, LMDirichletSimilarity, LMJelinekMercerSimilarity,
   SweetSpotSimilarity}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -83,6 +84,94 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rare.score(2f, nb) > s.score(2f, nb))
   }
 
+  test("DFR basic-model matrix closed forms (BasicModel{In,Ine,G,P,D,BE}.cs)") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val n = 100L; val df = 5L; val f = 50L
+    // isolate the basic model: no after-effect, no tf normalization
+    def score(m: DfrBasicModel, tf: Float): Float = {
+      val s = DFRSimilarity(m, DfrAfterEffect.None, DfrNormalization.None)
+        .termScorer(df, f, stats, 1.0f)
+      s.score(tf, SmallFloat.encodeNorm(16))
+    }
+    val tfn = 3f
+    assert(score(DfrBasicModel.In, tfn) ==
+      tfn * log2((n + 1) / (df + 0.5)).toFloat)
+    val ne = n * (1 - math.pow((n - 1) / n.toDouble, f.toDouble))
+    assert(score(DfrBasicModel.Ine, tfn) ==
+      tfn * log2((n + 1) / (ne + 0.5)).toFloat)
+    val lamG = (f + 1.0) / (n + f + 1.0)
+    assert(score(DfrBasicModel.G, tfn) ==
+      (log2(lamG + 1) + tfn * log2((1 + lamG) / lamG)).toFloat)
+    val lamP = (f + 1).toFloat / (n + 1)
+    assert(score(DfrBasicModel.P, tfn) ==
+      (tfn * log2(tfn / lamP) + (lamP + 1 / (12 * tfn) - tfn) * log2(math.E) +
+        0.5 * log2(2 * math.Pi * tfn)).toFloat)
+    val bigF = f + 1 + tfn.toDouble
+    val phi = tfn / bigF; val nphi = 1 - phi; val p = 1.0 / (n + 1)
+    val dD = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+    assert(score(DfrBasicModel.D, tfn) ==
+      (dD * bigF + 0.5 * log2(1 + 2 * math.Pi * tfn * nphi)).toFloat)
+    def fF(a: Double, m: Double) = (m + 0.5) * log2(a / m) + (a - m) * log2(a)
+    val bigN = bigF + n
+    assert(score(DfrBasicModel.BE, tfn) ==
+      (-log2((bigN - 1) * math.E) + fF(bigN + bigF - 1, bigN + bigF - tfn - 2)
+        - fF(bigF, bigF - tfn)).toFloat)
+    // every model is monotone in tfn on this configuration
+    for (m <- Seq(DfrBasicModel.IF, DfrBasicModel.In, DfrBasicModel.Ine,
+      DfrBasicModel.G, DfrBasicModel.P, DfrBasicModel.D, DfrBasicModel.BE))
+      assert(score(m, 6f) > score(m, 3f), s"model $m not monotone")
+  }
+
+  test("DFR after-effects and normalizations closed forms (AfterEffectB, H1/H3/Z)") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val df = 5L; val f = 50L
+    val nb = SmallFloat.encodeNorm(16)
+    val dl = Bm25.NormTable(nb & 0xff)
+    val avgFl = (1000.0 / 100.0).toFloat
+    val kIn = log2(101.0 / 5.5).toFloat // BasicModelIn constant at these stats
+    // AfterEffectB over Normalization.None: (F+2)/((df+1)(tfn+1))
+    val b = DFRSimilarity(DfrBasicModel.In, DfrAfterEffect.B, DfrNormalization.None)
+      .termScorer(df, f, stats, 1.0f)
+    assert(b.score(3f, nb) == 1.0f * (3f * kIn) * ((f + 2) / ((df + 1) * 4f)))
+    // H1: tfn = tf * avgFl / dl (reference 4.8: the c parameter is unused)
+    val h1 = DFRSimilarity(DfrBasicModel.In, DfrAfterEffect.None, DfrNormalization.H1())
+      .termScorer(df, f, stats, 1.0f)
+    assert(h1.score(3f, nb) == (3f * avgFl / dl) * kIn)
+    // H3: (tf + mu*((ttf+1)/(sumTtf+1)))/(dl+mu)*mu
+    val mu = 800f
+    val h3 = DFRSimilarity(DfrBasicModel.In, DfrAfterEffect.None, DfrNormalization.H3(mu))
+      .termScorer(df, f, stats, 1.0f)
+    val tfnH3 = (3f + mu * ((f + 1f) / (stats.sum_ttf + 1f))) / (dl + mu) * mu
+    assert(h3.score(3f, nb) == tfnH3 * kIn)
+    // Z: tf * (avgFl/dl)^z
+    val z = 0.30f
+    val hz = DFRSimilarity(DfrBasicModel.In, DfrAfterEffect.None, DfrNormalization.Z(z))
+      .termScorer(df, f, stats, 1.0f)
+    assert(hz.score(3f, nb) == (3f * math.pow(avgFl / dl, z)).toFloat * kIn)
+  }
+
+  test("IB distribution/lambda matrix closed forms (DistributionSPL, LambdaTTF)") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val df = 5L; val f = 50L
+    val nb = SmallFloat.encodeNorm(16)
+    val dl = Bm25.NormTable(nb & 0xff)
+    val avgFl = (1000.0 / 100.0).toFloat
+    val tfn = (2f * log2(1.0 + avgFl / dl)).toFloat
+    // LambdaTTF: (F+1)/(N+1)
+    val lamTtf = (f + 1f) / (stats.max_doc + 1f)
+    val ll = IBSimilarity(IbDistribution.LL, IbLambda.TTF, DfrNormalization.H2())
+      .termScorer(df, f, stats, 1.0f)
+    assert(ll.score(2f, nb) == (-math.log(lamTtf / (tfn + lamTtf))).toFloat)
+    // SPL: -log((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda))
+    val lamDf = 6f / 101f
+    val spl = IBSimilarity(IbDistribution.SPL, IbLambda.DF, DfrNormalization.H2())
+      .termScorer(df, f, stats, 1.0f)
+    val want = (-math.log(
+      (math.pow(lamDf.toDouble, tfn / (tfn + 1.0)) - lamDf) / (1 - lamDf))).toFloat
+    assert(spl.score(2f, nb) == want)
+    assert(spl.score(4f, nb) > spl.score(2f, nb))
+  }
+
   test("alternate similarities: distributed engine == oracle on a real index") {
     val dir = Files.createTempDirectory("graft_sim").toString
     IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 120), dir)
@@ -90,7 +179,14 @@ class SimilaritySpec extends AnyFunSuite {
       .zipWithIndex.map { case (t, i) => (i.toLong, t.text) }
     for (sim <- Seq(ClassicSimilarity, LMDirichletSimilarity(),
       DFRSimilarity(), IBSimilarity(), LMJelinekMercerSimilarity(),
-      SweetSpotSimilarity())) {
+      SweetSpotSimilarity(),
+      // matrix configs: distinct basic model / after-effect / normalization
+      DFRSimilarity(DfrBasicModel.In, DfrAfterEffect.B, DfrNormalization.H1()),
+      DFRSimilarity(DfrBasicModel.G, DfrAfterEffect.L, DfrNormalization.Z()),
+      DFRSimilarity(DfrBasicModel.Ine, DfrAfterEffect.B, DfrNormalization.H3()),
+      DFRSimilarity(DfrBasicModel.P, DfrAfterEffect.L, DfrNormalization.H2()),
+      IBSimilarity(IbDistribution.SPL, IbLambda.TTF, DfrNormalization.H2()),
+      IBSimilarity(IbDistribution.LL, IbLambda.TTF, DfrNormalization.Z()))) {
       val searcher = new Searcher(spark, dir, sim)
       val oracle = new BruteForce(turns, sim)
       for (q <- Seq(Query.Term("time"), Query.parse("time person"),
