@@ -46,6 +46,15 @@ object BlockCombine {
                           cnt: Int, doc_bytes: Array[Byte],
                           tf_bytes: Array[Byte], norm_bytes: Array[Byte])
 
+  /** [[Tagged]] plus the block's doc-range end and block-max metadata
+    * (max_tf, max_nb) so the reduce side can bound a bucket's best possible
+    * total — and leapfrog non-lead blocks — without decoding.
+    */
+  final case class TaggedM(bucket: Long, rank: Int, ti: Int, first_doc: Long,
+                           last_doc: Long, cnt: Int, doc_bytes: Array[Byte],
+                           tf_bytes: Array[Byte], norm_bytes: Array[Byte],
+                           max_tf: Int, max_nb: Int)
+
   private final class DocAcc(nTis: Int) {
     val s = new Array[Float](nTis)
     java.util.Arrays.fill(s, Float.NaN)
@@ -120,6 +129,222 @@ object BlockCombine {
               }
               if (acc != null) {
                 if (not(ti)) acc.excluded = true
+                else acc.s(ti) = scorer.score(tfs(i).toFloat, b.norm_bytes(i))
+              }
+            }
+            i += 1
+          }
+        }
+
+        new scala.collection.AbstractIterator[(Long, Float)] {
+          private var pendingFlush: Iterator[(Long, Float)] = Iterator.empty
+          private var done = false
+          private def advance(): Unit = {
+            while (!pendingFlush.hasNext && !done) {
+              if (it.hasNext) {
+                val b = it.next()
+                if (b.bucket != curBucket) {
+                  pendingFlush = flush()
+                  curBucket = b.bucket
+                }
+                addBlock(b)
+              } else {
+                pendingFlush = flush()
+                done = true
+              }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pendingFlush.hasNext
+          override def next(): (Long, Float) = {
+            val h = pendingFlush.next()
+            advance()
+            h
+          }
+        }
+      }
+  }
+
+  /** Streaming block-pruned combine for the general boolean shapes —
+    * multi-MUST, residual minShouldMatch, NOT — where the scan-side
+    * clause-score heaps are unsound (the k-th best single-clause score over
+    * one term's postings is no lower bound on the k-th best total over the
+    * smaller filtered result set).
+    *
+    * Identical streaming pipeline to [[combine]] (shuffle-read, decode and
+    * accumulate overlap block-at-a-time; the buffered-bucket variant
+    * measured ~30% slower by serializing read and decode), plus three
+    * per-block prunes decided BEFORE decoding:
+    *
+    *  1. Block-granular conjunction LEAPFROG (ConjunctionScorer.DoNext at
+    *     block granularity, /root/reference/src/Lucene.Net/Search/
+    *     ConjunctionScorer.cs:118): with a MUST lead, per-doc accumulators
+    *     are created only while decoding rank-0 (lead) blocks — which the
+    *     (bucket, rank, ti) sort delivers FIRST within each bucket — so a
+    *     later block whose doc range overlaps no surviving lead block's
+    *     range cannot touch any accumulator; skipping its decode is exact
+    *     work elimination, not a threshold decision. Unlike the scan-side
+    *     Intervals prefilter this needs no driver collect, so it holds at
+    *     ANY lead df (the 10^9-df conjunction at corpus scale). The lead is
+    *     one term, so its ranges are disjoint: overlap = binary search.
+    *  2. MaxScore block bound vs verified totals: each partition keeps a
+    *     k-heap of exact flushed scores (docs that passed the MUST/mm/NOT
+    *     filters — order-statistics dominance keeps theta sound even when
+    *     some flushed scores are understated by prior skips), and a
+    *     non-NOT block is skipped when the heap is full and
+    *     `(ub(block) + rest(ti)) * slack < theta` (STRICT; `rest` is the
+    *     driver-side sum of the other clauses' global maxima, `slack`
+    *     inflates past float32 fold rounding — same algebra as the
+    *     scan-side skip, WandSearcher doc). A doc that loses a block this
+    *     way has true total < theta <= the partition's k-th best verified
+    *     total <= the global k-th best, so its (understated or filtered)
+    *     emission cannot affect membership or tie-break of the final top k,
+    *     while every true top-k doc's blocks all survive and its score
+    *     stays bit-exact. NOT blocks are never bound-skipped (they exclude;
+    *     dropping one could un-exclude an emitted doc) — only leapfrogged,
+    *     which is sound because an un-overlapped range holds no
+    *     accumulators to exclude.
+    *  3. A bound-skipped LEAD block also withholds its range from the
+    *     leapfrog index, so docs it would have established are dropped
+    *     consistently everywhere.
+    *
+    * `ubFns(ti)` maps a block's (max_tf, max_nb) to a double upper bound on
+    * that clause's float32 score (null for pure-NOT clauses); `rests(ti)`
+    * is the precomputed rest-sum.
+    */
+  def combinePruned(spark: SparkSession, blocks: Dataset[TaggedM],
+                    scorers: Array[Similarity.TermScorer], isMust: Array[Boolean],
+                    isNot: Array[Boolean], nMust: Int, mm: Int, width: Long,
+                    ubFns: Array[(Int, Int) => Double], rests: Array[Double],
+                    slack: Double, k: Int,
+                    skipped: org.apache.spark.util.LongAccumulator,
+                    scanned: org.apache.spark.util.LongAccumulator): Dataset[(Long, Float)] = {
+    import spark.implicits._
+    val nTis = scorers.length
+    val bScorers = spark.sparkContext.broadcast(scorers)
+    val bMust = spark.sparkContext.broadcast(isMust)
+    val bNot = spark.sparkContext.broadcast(isNot)
+    val bUb = spark.sparkContext.broadcast(ubFns)
+    val bRests = spark.sparkContext.broadcast(rests)
+    val kk = k
+    blocks
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "rank", "ti")
+      .mapPartitions { it =>
+        val sc = bScorers.value
+        val must = bMust.value
+        val not = bNot.value
+        val ub = bUb.value
+        val rest = bRests.value
+        val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
+        var theta = Double.NegativeInfinity
+        val perDoc = new scala.collection.mutable.LongMap[DocAcc]()
+        var curBucket = Long.MinValue
+        // surviving lead-block ranges of the CURRENT bucket (disjoint; rank-0
+        // blocks arrive first but in file order, so sort lazily once the
+        // first non-lead block needs a lookup)
+        val leadStarts = new scala.collection.mutable.ArrayBuffer[Long]()
+        val leadEnds = new scala.collection.mutable.ArrayBuffer[Long]()
+        var leadSorted = true
+
+        def overlapsLead(first: Long, last: Long): Boolean = {
+          if (!leadSorted) {
+            val idx = leadStarts.indices.sortBy(leadStarts)
+            val s = idx.map(leadStarts).toBuffer
+            val e = idx.map(leadEnds).toBuffer
+            leadStarts.clear(); leadStarts ++= s
+            leadEnds.clear(); leadEnds ++= e
+            leadSorted = true
+          }
+          var loI = 0
+          var hiI = leadStarts.length
+          while (loI < hiI) {
+            val mid = (loI + hiI) >>> 1
+            if (leadStarts(mid) <= last) loI = mid + 1 else hiI = mid
+          }
+          loI > 0 && leadEnds(loI - 1) >= first
+        }
+
+        def flush(): Iterator[(Long, Float)] = {
+          leadStarts.clear(); leadEnds.clear(); leadSorted = true
+          if (perDoc.isEmpty) Iterator.empty
+          else {
+            val snap = perDoc.toArray
+            perDoc.clear()
+            val out = snap.iterator.flatMap { case (doc, acc) =>
+              var mustSeen = 0
+              var shouldSeen = 0
+              var score = 0.0f
+              var i = 0
+              while (i < nTis) {
+                val v = acc.s(i)
+                if (!v.isNaN) {
+                  if (must(i)) mustSeen += 1 else shouldSeen += 1
+                  score += v
+                }
+                i += 1
+              }
+              if (!acc.excluded && mustSeen == nMust && shouldSeen >= mm &&
+                (mustSeen + shouldSeen) > 0) Iterator.single((doc, score))
+              else Iterator.empty
+            }.toArray
+            var i = 0
+            while (i < out.length) {
+              val s = out(i)._2
+              if (heap.size < kk) heap.offer(s)
+              else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+              if (heap.size == kk) {
+                val cand = heap.peek().toDouble
+                if (cand > theta) theta = cand
+              }
+              i += 1
+            }
+            out.iterator
+          }
+        }
+
+        def addBlock(b: TaggedM): Unit = {
+          val lead = b.rank == 0
+          val ti = b.ti
+          val isNotTi = not(ti)
+          // bound skip (never for NOT blocks)
+          if (!isNotTi && heap.size == kk) {
+            val f = ub(ti)
+            if (f != null &&
+              (f(b.max_tf, b.max_nb) + rest(ti)) * slack < theta) {
+              skipped.add(1)
+              return
+            }
+          }
+          val lo = b.bucket * width
+          val hi = lo + width
+          if (nMust > 0) {
+            if (lead) {
+              leadStarts += b.first_doc
+              leadEnds += b.last_doc
+              if (leadStarts.length >= 2 &&
+                leadStarts(leadStarts.length - 2) > b.first_doc) leadSorted = false
+            } else if (!overlapsLead(math.max(b.first_doc, lo),
+              math.min(b.last_doc, hi - 1))) {
+              skipped.add(1)
+              return
+            }
+          }
+          scanned.add(1)
+          val scorer = sc(ti)
+          val (docs, tfs) = PostingCodec.decodeDocsTfs(b.first_doc, b.cnt,
+            b.doc_bytes, b.tf_bytes)
+          var i = 0
+          while (i < b.cnt) {
+            val d = docs(i)
+            if (d >= lo && d < hi) {
+              var acc = perDoc.getOrNull(d)
+              if (acc == null && lead) {
+                acc = new DocAcc(nTis)
+                perDoc.update(d, acc)
+              }
+              if (acc != null) {
+                if (isNotTi) acc.excluded = true
                 else acc.s(ti) = scorer.score(tfs(i).toFloat, b.norm_bytes(i))
               }
             }

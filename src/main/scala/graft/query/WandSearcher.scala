@@ -82,16 +82,27 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     case Query.BoolQ(cs, mm, gb) if mm <= 1 && gb == 1.0f && cs.nonEmpty &&
       cs.forall { case (o, c) => o == Query.Should && c.isInstanceOf[Query.Term] } =>
       searchShould(cs.map { case (_, t: Query.Term) => (t.term, t.boost); case _ => null }, k)
+    case Query.BoolQ(cs, mm, gb) if gb == 1.0f && cs.nonEmpty &&
+      cs.forall { case (_, Query.Term(_, b)) => b == 1.0f; case _ => false } =>
+      // flat unboosted term group (the parser's everyday output, e.g.
+      // "+spark +index" / "time -person"): identical semantics to Bool, so
+      // re-route through the occur-specific pruned paths below
+      search(Query.Bool(
+        must = cs.collect { case (Query.Must, t: Query.Term) => t.term },
+        should = cs.collect { case (Query.Should, t: Query.Term) => t.term },
+        mustNot = cs.collect { case (Query.MustNot, t: Query.Term) => t.term },
+        minShouldMatch = mm), k)
+    case Query.Bool(must, should, mustNot, mm) if (must ++ should).nonEmpty =>
+      // multi-MUST / NOT / residual min-should-match: scan-side clause-score
+      // heaps are UNSOUND here (the k-th best single-clause score over one
+      // term's postings can exceed the k-th best total over the smaller
+      // intersection/filtered result set), so these shapes prune
+      // REDUCE-side instead — bucket-level MaxScore bounds against a theta
+      // grown only from verified totals (see BlockCombine.combinePruned).
+      searchBoolPruned(must, should, mustNot, mm, k)
     case other =>
-      // multi-MUST / NOT / unmet min-should-match / phrase run on the
-      // exhaustive path (same results, no pruning). This is a SOUNDNESS
-      // boundary, not a TODO: with >= 2 MUST terms (or a residual mm, or a
-      // NOT clause) the per-term clause-score heap no longer lower-bounds
-      // the k-th best FINAL total — the k-th best clause score over one
-      // term's postings can exceed the k-th best total over the (smaller)
-      // intersection/filtered result set, so a theta grown from it would
-      // skip blocks holding true top-k docs. A sound theta for those shapes
-      // needs verified totals (reduce-side), i.e. a seed job — future work.
+      // nested/phrase/constant-score shapes run on the exhaustive path
+      // (same results, no pruning).
       base.search(other, k)
   }
 
@@ -204,6 +215,125 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       isMust = ids.map(_ == mId).toArray,
       isNot = Array.fill(ids.size)(false),
       nMust = 1, mm = 0, width = width)
+      .toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** General boolean top-k with reduce-side bucket pruning — multi-MUST,
+    * residual minShouldMatch, and NOT shapes. The scan ships packed blocks
+    * with their (max_tf, max_nb) metadata and NEVER decodes (unlike the
+    * disjunction path there is no sound scan-side theta to grow); all
+    * pruning happens in [[BlockCombine.combinePruned]] where exact verified
+    * totals bound the skip. Clause semantics (dup dedup, mm credit, lead
+    * rank, absent-term handling) mirror Searcher.clausesScoreAll so results
+    * stay bit-identical to the exhaustive path.
+    */
+  private def searchBoolPruned(must0: Seq[String], should0: Seq[String],
+                               not0: Seq[String], mm0: Int, k: Int): DataFrame = {
+    val must = must0.distinct
+    val shouldAll = should0.distinct
+    val should = shouldAll.filterNot(must.contains)
+    val mm = math.max(0, mm0 - shouldAll.count(must.contains))
+    val mustNot = not0.distinct
+    val dict: Map[String, TermDictRow] = base.lookup(must ++ should ++ mustNot)
+    if (must.exists(t => !dict.contains(t)) ||
+      (must ++ should).forall(t => !dict.contains(t)))
+      return spark.emptyDataset[(Long, Float)].toDF("doc_id", "score")
+
+    val st = base.stats
+    val posTerms = (must ++ should).filter(dict.contains)
+    val notTerms = mustNot.filter(dict.contains)
+    val weights: Map[Long, Bm25.TermWeight] = posTerms.map { t =>
+      val d = dict(t)
+      d.term_id -> Bm25.termWeight(d.term_id, d.df, st.max_doc, st.sum_ttf, 1.0f)
+    }.toMap
+    val mustIds = must.map(dict(_).term_id).toSet
+    val notIds = notTerms.map(dict(_).term_id).toSet
+    val allTids: Seq[Long] = (weights.keySet ++ notIds).toSeq.sorted
+    val tiOf: Map[Long, Int] = allTids.zipWithIndex.toMap
+    val scorers: Array[graft.score.Similarity.TermScorer] =
+      allTids.map { tid =>
+        weights.get(tid).map { tw =>
+          val f: graft.score.Similarity.TermScorer =
+            (tf: Float, nb: Byte) => Bm25.score(tw.weightValue, tf, tw.cache, nb)
+          f
+        }.orNull
+      }.toArray
+    val isMust: Array[Boolean] = allTids.map(mustIds.contains).toArray
+    val isNot: Array[Boolean] = allTids.map(notIds.contains).toArray
+    // bound algebra: per-clause double ub from block-max metadata; NOT
+    // clauses never score so they contribute nothing to the bound or rests
+    val ubFns: Array[(Int, Int) => Double] =
+      allTids.map { tid =>
+        weights.get(tid).map { tw =>
+          val f: (Int, Int) => Double = (maxTf, maxNb) => ubD(tw, maxTf, maxNb)
+          f
+        }.orNull
+      }.toArray
+    val dictByTid: Map[Long, TermDictRow] = dict.values.map(d => d.term_id -> d).toMap
+    val gmaxD: Map[Long, Double] = allTids.map { tid =>
+      tid -> weights.get(tid).map { tw =>
+        val d = dictByTid(tid)
+        ubD(tw, d.max_tf, d.max_nb)
+      }.getOrElse(0.0)
+    }.toMap
+    val rests: Array[Double] =
+      allTids.map(i => allTids.iterator.filter(_ != i).map(gmaxD).sum).toArray
+    val slack: Double = 1.0 + (allTids.size + 4) * 1.2e-7
+
+    // lead-with-rarest MUST (same block-range prefilter as the exhaustive
+    // path — pruned and exhaustive must agree on WHICH docs can match)
+    val dfOf: Map[Long, Long] = dict.values.map(d => d.term_id -> d.df).toMap
+    val leadTid: Option[Long] =
+      if (mustIds.nonEmpty) Some(mustIds.minBy(dfOf)) else None
+    val leadTi = leadTid.map(tiOf).getOrElse(-1)
+    // Sub-bucketing knob: the default bucket width (maxDoc / shuffle
+    // partitions) gives each reduce partition exactly ONE bucket, so the
+    // verified-total theta can only gate the bucket-level checks across
+    // partitions-worth of buckets when this is raised. Measured at 4M turns,
+    // sub=8 replicated block shipping ~2.8x (blocks spanning several
+    // sub-buckets ship once per bucket) for a negligible extra skip count —
+    // the block-granular leapfrog below is WIDTH-INDEPENDENT and provides
+    // the real conjunction pruning — so the default stays 1 (exhaustive
+    // geometry, zero extra shuffle).
+    val sub = sys.props.get("graft.wand.subBuckets").map(_.toInt).getOrElse(1)
+    val width = math.max(1L, PositionalScan.bucketWidth(spark, st.max_doc) / sub)
+
+    import graft.codec.ScoreSpanBlock
+    var blocks = postings
+      .filter(col("term_id").isin(allTids: _*))
+      .select(ScoreSpanBlock.cols.map(col): _*)
+      .as[ScoreSpanBlock]
+    leadTid.filter(t => dfOf(t) <= Searcher.phraseLeadMaxDf && allTids.size > 1)
+      .foreach { t =>
+        val ranges = postings.filter(col("term_id") === t)
+          .select("first_doc", "last_doc").as[(Long, Long)].collect()
+        val bIv = spark.sparkContext.broadcast(PositionalScan.Intervals.merge(ranges))
+        blocks = blocks.filter(b => bIv.value.overlaps(b.first_doc, b.last_doc))
+      }
+
+    val skipped = spark.sparkContext.longAccumulator("wand.skippedBlocks")
+    val scanned = spark.sparkContext.longAccumulator("wand.scannedBlocks")
+    lastSkipped = Some(skipped)
+    lastScanned = Some(scanned)
+    val bTi = spark.sparkContext.broadcast(tiOf)
+    val bNotSet = spark.sparkContext.broadcast(notIds)
+    val lTi = leadTi
+    val tagged = blocks.flatMap { b =>
+      val ti = bTi.value(b.term_id)
+      val rank =
+        if (bNotSet.value(b.term_id)) 1
+        else if (lTi < 0) 0
+        else if (ti == lTi) 0 else 1
+      PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
+        BlockCombine.TaggedM(bk, rank, ti, b.first_doc, b.last_doc, b.cnt,
+          b.doc_bytes, b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
+    }
+    BlockCombine.combinePruned(spark, tagged, scorers, isMust, isNot,
+      nMust = mustIds.size, mm = mm, width = width,
+      ubFns = ubFns, rests = rests, slack = slack, k = k,
+      skipped = skipped, scanned = scanned)
       .toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)

@@ -61,11 +61,39 @@ object DevLatency {
       "time -person", "+world -life", "partition shuffle",
       "executor driver stage", "don't", "3.14", "foo.bar", "o'neil")
 
+    val conjStrs = Seq("+time person", "+spark +index", "time -person",
+      "+world -life", "+time +person", "+search +query +merge",
+      "+w000500 +time", "+time +w000500", "+partition +shuffle")
+
     if (what == "phrase" || what == "all")
       series("phrase", phraseStrs, q => searcher.search(Query.parse(q), 10).collect())
     if (what == "bool" || what == "all") {
       series("exhaust", queryStrs, q => searcher.search(Query.parse(q), 10).collect())
       series("wand", queryStrs, q => wand.search(Query.parse(q), 10).collect())
+    }
+    if (what == "conj" || what == "all") {
+      // interleaved min-of-2 per engine per query: sequential series confound
+      // engine with cache warmth on this VM (measured ~20% order bias)
+      conjStrs.take(3).foreach { q =>
+        searcher.search(Query.parse(q), 10).collect()
+        wand.search(Query.parse(q), 10).collect()
+      }
+      var sk = 0L; var sc = 0L
+      val pairs = conjStrs.map { q =>
+        val e1 = timed(searcher.search(Query.parse(q), 10).collect())
+        val w1 = timed(wand.search(Query.parse(q), 10).collect())
+        val w2 = timed(wand.search(Query.parse(q), 10).collect())
+        val e2 = timed(searcher.search(Query.parse(q), 10).collect())
+        sk += wand.lastSkipped.map(_.value.longValue).getOrElse(0L)
+        sc += wand.lastScanned.map(_.value.longValue).getOrElse(0L)
+        (math.min(e1, e2), math.min(w1, w2))
+      }
+      val ex = pairs.map(_._1); val wd = pairs.map(_._2)
+      println(f"[dev] conj-ex p50=${pct(ex, 0.5) * 1000}%7.1f ms  " +
+        ex.map(t => f"${t * 1000}%.0f").mkString("[", ",", "]"))
+      println(f"[dev] conj-wd p50=${pct(wd, 0.5) * 1000}%7.1f ms  " +
+        wd.map(t => f"${t * 1000}%.0f").mkString("[", ",", "]"))
+      println(f"[dev] conj skip ratio = ${sk.toDouble / math.max(sk + sc, 1)}%.3f (skipped=$sk scanned=$sc)")
     }
     s.stop()
   }

@@ -42,9 +42,54 @@ class WandSpec extends AnyFunSuite {
     both(Query.Bool(should = Seq("time", "w001234")))
   }
 
-  test("MUST/NOT fall back to the exhaustive path, still identical") {
-    both(Query.Bool(must = Seq("time", "person"))) // 2 MUSTs: sound theta needs totals
+  test("multi-MUST / NOT / residual mm: bucket-pruned path identical to exhaustive") {
+    both(Query.Bool(must = Seq("time", "person"))) // 2 MUSTs
+    both(Query.Bool(must = Seq("time", "person", "year"))) // 3 MUSTs
+    both(Query.Bool(must = Seq("time", "w001234"))) // hot + rare conjunction
+    both(Query.Bool(must = Seq("time", "zzzznothere"))) // absent MUST -> empty
+    both(Query.Bool(must = Seq("time", "person"), should = Seq("year", "way")))
     both(Query.Bool(should = Seq("time"), mustNot = Seq("person")))
+    both(Query.Bool(must = Seq("time", "person"), mustNot = Seq("year")))
+    // residual minShouldMatch shapes (pure-should mm >= 2, must + unmet mm)
+    both(Query.Bool(should = Seq("time", "person", "year"), minShouldMatch = 2))
+    both(Query.Bool(should = Seq("time", "person", "year", "way"), minShouldMatch = 3))
+    both(Query.Bool(must = Seq("time"), should = Seq("person", "year"), minShouldMatch = 2))
+    // unsatisfiable mm
+    both(Query.Bool(should = Seq("time", "zzzznothere"), minShouldMatch = 2))
+  }
+
+  test("reduce-side leapfrog prunes conjunctions past the driver-collect cap") {
+    // The scan-side Intervals prefilter is gated by graft.phrase.leadMaxDf
+    // (driver collect bound). Past it — the 10^9-df lead at corpus scale —
+    // the reduce-side block-range leapfrog must carry the intersection
+    // pruning alone. Simulate by forcing the cap to 0 so NO scan-side
+    // prefilter runs, then check the rare+hot conjunction still skips the
+    // hot term's non-overlapping blocks and stays bit-identical.
+    val key = "graft.phrase.leadMaxDf"
+    val old = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val q = Query.Bool(must = Seq("time", "w001234"))
+      both(q)
+      wand.search(q, 5).collect()
+      val skipped = wand.lastSkipped.get.value
+      val scanned = wand.lastScanned.get.value
+      assert(skipped > 0, s"expected leapfrogged blocks (scanned=$scanned)")
+    } finally {
+      old match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
+
+  test("conjunction pruning skips buckets where a MUST term is absent") {
+    // +rare +hot: buckets without the rare term's blocks are skipped without
+    // decoding (block-granular ConjunctionScorer advance) — on this corpus
+    // the rare term w001234 appears in few buckets, so most of the hot
+    // term's blocks never decode.
+    wand.search(Query.Bool(must = Seq("time", "w001234")), 5).collect()
+    val skipped = wand.lastSkipped.get.value
+    val scanned = wand.lastScanned.get.value
+    assert(skipped + scanned > 0)
+    assert(skipped > 0, s"expected skipped blocks (scanned=$scanned)")
   }
 
   test("single-MUST conjunctions: pruned path identical to exhaustive") {
