@@ -234,6 +234,15 @@ object Gate {
         .search(graft.query.Query.Bool(should = Seq("spark", "window", "merge")), 10)
         .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
     }),
+    "ft_engine_conj" -> ((s, d) => {
+      // the pruned multi-MUST path (BlockCombine.combinePruned: leapfrog +
+      // verified-total bound skips) under the hard correctness signal
+      val idx = indexDir(s, d)
+      new graft.query.WandSearcher(s, idx)
+        .search(graft.query.Query.Bool(
+          must = Seq("spark", "merge"), should = Seq("window")), 10)
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+    }),
     "ft_engine_nested" -> ((s, d) =>
       engineTopk(s, d, graft.query.Query.parse("(spark OR window) AND merge"), 10)),
     "ft_engine_dismax" -> ((s, d) =>

@@ -281,6 +281,21 @@ object GateOracle {
          |)
          |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_conj" ->
+      s"""$fprelude, piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'merge' THEN s END) AS sm,
+         |    max(CASE WHEN term = 'spark' THEN s END) AS ss,
+         |    max(CASE WHEN term = 'window' THEN s END) AS sw
+         |  FROM fsc WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id
+         |), tot AS (
+         |  -- +spark +merge window: both MUSTs required, float32 clause sum
+         |  -- ascending term_id (merge < spark < window)
+         |  SELECT doc_id, ((sm + ss) + coalesce(sw, $fz)) AS s
+         |  FROM piv WHERE sm IS NOT NULL AND ss IS NOT NULL
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "ft_engine_nested" ->
       s"""$fprelude, piv AS (
          |  SELECT doc_id,
