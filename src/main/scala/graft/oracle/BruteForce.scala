@@ -225,6 +225,11 @@ final class BruteForce(docs: Seq[(Long, String)],
     slotTerms.foreach(_.foreach(t => idfSum += Bm25.idf(df(t), maxDoc)))
     val weightValue = Bm25.weightValue(idfSum, boost)
     val cache = Bm25.buildCache(Bm25.avgFieldLength(sumTtf, maxDoc))
+    // slot term identities for multi-term repeat (hidden-collision) detection
+    val slotTermIds: Array[Array[Int]] = {
+      val ord = slotTerms.flatten.distinct.zipWithIndex.toMap
+      slotTerms.map(_.map(ord).toArray).toArray
+    }
     val out = positions.flatMap { case (id, tp, len) =>
       val cp: Seq[Array[Int]] = slotTerms.map { ts =>
         ts.flatMap(t => tp.getOrElse(t, Nil)).distinct.sorted.toArray
@@ -240,7 +245,7 @@ final class BruteForce(docs: Seq[(Long, String)],
           }
           pf = c.toFloat
         } else {
-          pf = graft.query.SloppyPhrase.freq(cp.toArray, slop)
+          pf = graft.query.SloppyPhrase.freq(cp.toArray, slop, slotTermIds)
         }
         if (pf > 0.0f)
           Some((id, Bm25.score(weightValue, pf, cache, SmallFloat.encodeNorm(len))))

@@ -123,7 +123,7 @@ object PositionalScan {
           }
           if (anyEmpty) Iterator.empty
           else {
-            val pf = freq(cp, slop)
+            val pf = freq(cp, slop, slots)
             if (pf > 0.0f)
               Iterator.single((doc, Bm25.score(weightValue, pf, cache, st.nb)))
             else Iterator.empty
@@ -153,9 +153,12 @@ object PositionalScan {
   }
 
   /** Phrase frequency given per-slot position lists: exact alignment count
-    * at slop 0 (ExactPhraseScorer), else the reference window walk.
+    * at slop 0 (ExactPhraseScorer), else the reference window walk
+    * (`slotTerms` = per-slot term identities for multi-term repeat
+    * detection, see [[SloppyPhrase.freq]]).
     */
-  def freq(cp: Array[Array[Int]], slop: Int): Float =
+  def freq(cp: Array[Array[Int]], slop: Int,
+           slotTerms: Array[Array[Int]] = null): Float =
     if (slop == 0) {
       var c = 0
       val nSlots = cp.length
@@ -169,7 +172,7 @@ object PositionalScan {
         if (ok) c += 1
       }
       c.toFloat
-    } else SloppyPhrase.freq(cp, slop)
+    } else SloppyPhrase.freq(cp, slop, slotTerms)
 
   /** Merged sorted intervals for the lead-with-rarest-term block filter:
     * collect the rarest slot's (first_doc, last_doc) block ranges (bounded:

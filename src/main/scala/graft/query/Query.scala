@@ -69,23 +69,13 @@ object Query {
     * slot — the documented canonical float order); a slot with no surviving
     * alternative matches nothing. slop > 0 runs the [[SloppyPhrase]] window
     * walk over the per-slot position UNIONS (UnionDocsAndPositionsEnum
-    * cursor semantics) and requires pairwise-DISJOINT slot term sets — a
-    * term shared between slots needs the reference's hidden-collision
-    * machinery (SloppyPhraseScorer.InitFirstTime multi-term repeats),
-    * which stays unsupported.
+    * cursor semantics), including the reference's hidden-collision
+    * machinery for partially overlapping slot term sets
+    * (SloppyPhraseScorer.InitFirstTime multi-term repeats — see
+    * [[SloppyPhrase]]).
     */
   final case class MultiPhrase(slots: Seq[Seq[String]], slop: Int = 0,
                                boost: Float = 1.0f) extends Query
-
-  /** Sloppy-slot precondition: every pair of slots is disjoint or identical
-    * (see [[MultiPhrase]] — partial overlap needs the reference's
-    * hidden-collision machinery).
-    */
-  def sloppySlotsOk(slots: Seq[Seq[String]]): Boolean =
-    slots.map(_.toSet).combinations(2).forall {
-      case Seq(a, b) => a == b || a.intersect(b).isEmpty
-      case _         => true
-    }
 
   /** ConstantScoreQuery: every matching doc of the wrapped query scores
     * exactly `boost` (/root/reference/src/Lucene.Net/Search/ConstantScoreQuery.cs).

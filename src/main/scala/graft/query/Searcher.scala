@@ -400,9 +400,6 @@ final class Searcher(val spark: SparkSession, indexDir: String,
                                  boost: Float): DataFrame = {
     import graft.codec.PosSpanBlock
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || Query.sloppySlotsOk(slots),
-      "sloppy slots must be pairwise disjoint or identical " +
-        "(hidden-collision repeats unsupported)")
     val dict = lookup(slots.flatten.distinct)
     // alternatives absent from the dictionary drop out; an empty slot
     // matches nothing (MultiPhraseQuery semantics)

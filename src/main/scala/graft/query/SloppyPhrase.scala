@@ -22,12 +22,26 @@ package graft.query
   *    (AdvanceRepeatGroups, single-term case); after every cursor advance,
   *    collisions (two group members at one raw position) resolve by
   *    advancing the LESSER of the pair until none remain, re-heapifying
-  *    the affected queue entries (AdvanceRpts/Collide/Lesser). Multi-term
-  *    repeats (overlapping MultiPhrase slots) stay unsupported — callers
-  *    require single-term slots for slop > 0.
+  *    the affected queue entries (AdvanceRpts/Collide/Lesser).
+  *  - MULTI-TERM REPEATS (partially overlapping MultiPhrase slots, e.g.
+  *    slot1={A,B} slot2={B,C}): the same token may satisfy two slots
+  *    without their cursors initially colliding — the reference's "hidden
+  *    collision" (SloppyPhraseScorer.cs:395-408: doc "A C B", P1 on A, P2
+  *    on C, yet P1/P2 are repetitions of each other through B). Callers
+  *    pass `slotTerms` so repetition groups come from CONNECTED REGIONS of
+  *    the bipartite slot/term graph (GatherRptGroups multi-term branch:
+  *    per-slot bitsets over repeating-term ordinals, unioned until
+  *    disjoint — UnionTermGroups/TermGroups), and the init advance resolves
+  *    collisions pairwise-by-Lesser instead of the fixed j-step schedule
+  *    (AdvanceRepeatGroups, hasMultiTermRpts branch). The walk itself is
+  *    unchanged: within a group a raw position may host only ONE cursor,
+  *    which is exactly the one-token-per-slot-use constraint.
   *
   * Goldens: Lucene.Net.Tests/Search/TestSloppyPhraseQuery.cs (DOC_1..DOC_5
-  * match/no-match tables, LUCENE-1310 / LUCENE-3412 regressions).
+  * match/no-match tables, LUCENE-1310 / LUCENE-3412 regressions); the
+  * multi-term branch follows the algorithm (the reference's own
+  * TestMultiSloppyWithRepeats is @Ignore'd as a known issue upstream, so
+  * no end-to-end golden exists to mirror).
   */
 object SloppyPhrase {
 
@@ -47,9 +61,16 @@ object SloppyPhrase {
 
   /** @param slotPositions per-slot RAW sorted positions (slot i matched at
     *                      raw position p contributes adjusted position p - i)
+    * @param slotTerms     per-slot term identities (any stable Int ids) —
+    *                      required to detect MULTI-TERM repeats when slots
+    *                      partially overlap; null = every slot is a single
+    *                      term identified by its position list (identical
+    *                      lists <=> same term, since a position holds
+    *                      exactly one token)
     * @return the sloppy phrase frequency (0 when no window fits the slop)
     */
-  def freq(slotPositions: Array[Array[Int]], slop: Int): Float = {
+  def freq(slotPositions: Array[Array[Int]], slop: Int,
+           slotTerms: Array[Array[Int]] = null): Float = {
     val k = slotPositions.length
     if (k == 0 || slotPositions.exists(_.isEmpty)) return 0.0f
     // Degenerate single-slot phrase: every occurrence is its own minimal
@@ -59,37 +80,127 @@ object SloppyPhrase {
     if (k == 1) return slotPositions(0).length.toFloat
     val pps = Array.tabulate(k)(i => new PP(slotPositions(i), i))
 
-    // repetition groups: slots of the same term carry identical raw
-    // position lists (a position holds exactly one token), so content
-    // equality identifies the groups; members are in ascending offset.
-    val byList = scala.collection.mutable.LinkedHashMap[Seq[Int], List[Int]]()
-    pps.foreach { pp =>
-      val key = pp.positions.toSeq
-      byList(key) = byList.getOrElse(key, Nil) :+ pp.offset
-    }
+    // repeating terms (RepeatingTerms): terms present in >= 2 slots; a slot
+    // carrying a repeating term alongside others makes the repeats
+    // MULTI-TERM (hidden collisions possible)
+    var hasMultiTermRpts = false
     val rptGroups: Array[Array[PP]] =
-      byList.values.filter(_.size >= 2).map(_.map(pps(_)).toArray).toArray
+      if (slotTerms != null) {
+        val tcnt = scala.collection.mutable.LinkedHashMap[Int, Int]()
+        slotTerms.foreach(_.foreach(t => tcnt(t) = tcnt.getOrElse(t, 0) + 1))
+        val rptOrd: Map[Int, Int] =
+          tcnt.iterator.filter(_._2 >= 2).map(_._1).zipWithIndex.toMap
+        val rppIdx = slotTerms.indices.filter(i => slotTerms(i).exists(rptOrd.contains))
+        hasMultiTermRpts = rppIdx.exists(i => slotTerms(i).length > 1)
+        if (rptOrd.isEmpty) Array.empty
+        else if (!hasMultiTermRpts) {
+          // single-term repeats: group = slots of one term, ascending offset
+          rppIdx.groupBy(i => slotTerms(i).head).values
+            .filter(_.size >= 2).map(_.sorted.map(pps(_)).toArray).toArray
+        } else {
+          // GatherRptGroups multi-term branch: per-slot bitsets over
+          // repeating-term ordinals, unioned until disjoint (connected
+          // regions of the slot/term bipartite graph), then slot -> the one
+          // group holding any of its repeating terms
+          val bb = scala.collection.mutable.ArrayBuffer[java.util.BitSet]()
+          rppIdx.foreach { i =>
+            val b = new java.util.BitSet(rptOrd.size)
+            slotTerms(i).foreach(t => rptOrd.get(t).foreach(b.set))
+            bb += b
+          }
+          var i = 0
+          while (i < bb.length - 1) {
+            var incr = 1
+            var j = i + 1
+            while (j < bb.length) {
+              if (bb(i).intersects(bb(j))) {
+                bb(i).or(bb(j)); bb.remove(j); incr = 0
+              } else j += 1
+            }
+            i += incr
+          }
+          val ordToGroup = new Array[Int](rptOrd.size)
+          bb.indices.foreach { g =>
+            var o = bb(g).nextSetBit(0)
+            while (o >= 0) { ordToGroup(o) = g; o = bb(g).nextSetBit(o + 1) }
+          }
+          val groups = Array.fill(bb.length)(scala.collection.mutable.TreeSet[Int]())
+          rppIdx.foreach { i =>
+            slotTerms(i).foreach(t =>
+              rptOrd.get(t).foreach(o => groups(ordToGroup(o)) += i))
+          }
+          groups.filter(_.size >= 2).map(_.toArray.map(pps(_)))
+        }
+      } else {
+        // no term identities: slots are single terms, identical raw position
+        // lists <=> same term; members in ascending offset
+        val byList = scala.collection.mutable.LinkedHashMap[Seq[Int], List[Int]]()
+        pps.foreach { pp =>
+          val key = pp.positions.toSeq
+          byList(key) = byList.getOrElse(key, Nil) :+ pp.offset
+        }
+        byList.values.filter(_.size >= 2).map(_.map(pps(_)).toArray).toArray
+      }
     rptGroups.zipWithIndex.foreach { case (rg, g) =>
       rg.zipWithIndex.foreach { case (pp, i) => pp.rptGroup = g; pp.rptInd = i }
     }
     val hasRpts = rptGroups.nonEmpty
 
-    // PlaceFirstPositions + AdvanceRepeatGroups (single-term case: member j
-    // pre-advances j times, establishing the no-collision start state)
+    // PlaceFirstPositions + AdvanceRepeatGroups
     pps.foreach(_.firstPosition())
-    var g = 0
-    while (g < rptGroups.length) {
-      val rg = rptGroups(g)
-      var j = 1
-      while (j < rg.length) {
-        var c = 0
-        while (c < j) {
-          if (!rg(j).nextPosition()) return 0.0f
-          c += 1
+    if (hasMultiTermRpts) {
+      // multi-term branch: collisions may or may not exist at start —
+      // resolve each pairwise by advancing the Lesser (the reference's
+      // hasMultiTermRpts loop incl. the rptInd<i restart quirk)
+      var g = 0
+      while (g < rptGroups.length) {
+        val rg = rptGroups(g)
+        def collideIn(pp: PP): Int = {
+          val t = pp.tpPos
+          var i = 0
+          while (i < rg.length) {
+            val pp2 = rg(i)
+            if ((pp2 ne pp) && pp2.tpPos == t) return i
+            i += 1
+          }
+          -1
         }
-        j += 1
+        var i = 0
+        while (i < rg.length) {
+          var incr = 1
+          val pp = rg(i)
+          var kk = collideIn(pp)
+          var broke = false
+          while (kk >= 0 && !broke) {
+            val pp2 =
+              if (pp.position < rg(kk).position ||
+                (pp.position == rg(kk).position && pp.offset < rg(kk).offset)) pp
+              else rg(kk)
+            if (!pp2.nextPosition()) return 0.0f
+            if (pp2.rptInd < i) { incr = 0; broke = true }
+            else kk = collideIn(pp)
+          }
+          i += incr
+        }
+        g += 1
       }
-      g += 1
+    } else {
+      // single-term case: member j pre-advances j times, establishing the
+      // no-collision start state
+      var g = 0
+      while (g < rptGroups.length) {
+        val rg = rptGroups(g)
+        var j = 1
+        while (j < rg.length) {
+          var c = 0
+          while (c < j) {
+            if (!rg(j).nextPosition()) return 0.0f
+            c += 1
+          }
+          j += 1
+        }
+        g += 1
+      }
     }
 
     // FillQueue: order (position, offset) — PhraseQueue.cs:29-49

@@ -207,9 +207,6 @@ final class SegmentedSearcher(spark: SparkSession, indexDir: String) extends Ser
     import graft.codec.PosSpanBlock
     import graft.query.PositionalScan
     require(slots.size >= 2, "phrase needs at least two positions")
-    require(slop == 0 || Query.sloppySlotsOk(slots),
-      "sloppy slots must be pairwise disjoint or identical " +
-        "(hidden-collision repeats unsupported)")
     val dict = lookup(slots.flatten.distinct)
     val slotTerms: Array[Array[String]] =
       slots.map(_.filter(dict.contains).distinct.sorted.toArray).toArray

@@ -228,6 +228,9 @@ class IndexEndToEndSpec extends AnyFunSuite {
     check(Query.MultiPhrase(Seq(Seq("time"), Seq("person", "year")), slop = 3))
     // identical slots = a repeated union cursor (repetition machinery)
     check(Query.MultiPhrase(Seq(Seq("time", "person"), Seq("time", "person")), slop = 2))
+    // PARTIALLY overlapping slots: multi-term repeats (hidden collisions)
+    check(Query.MultiPhrase(Seq(Seq("time", "person"), Seq("person", "year")), slop = 2))
+    check(Query.MultiPhrase(Seq(Seq("time", "way"), Seq("way", "day"), Seq("day")), slop = 3))
   }
 
   test("IndexOptions DOCS_AND_FREQS: positions-less index scores identically") {

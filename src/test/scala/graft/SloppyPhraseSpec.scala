@@ -120,6 +120,49 @@ class SloppyPhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("hidden collisions: one token cannot fill two overlapping slots") {
+    val terms = Array(Array(0, 1), Array(1, 2)) // slot0={a,b}, slot1={b,c}
+    // doc "b": both slot unions = [0]; only one b exists -> no match
+    assert(SloppyPhrase.freq(Array(Array(0), Array(0)), 2, terms) == 0.0f)
+    // doc "c b": slot0 union=[1] (b), slot1 union=[0,1] (c@0, b@1). Without
+    // the repeat machinery the walk aligns slot0 and slot1 BOTH on b@1
+    // (window length 1, matches slop 1); the hidden-collision resolution
+    // forces slot1 onto c@0 -> true window length 2: no match at slop 1,
+    // 1/(1+2) at slop 2 (SloppyPhraseScorer.cs:395-408)
+    val cb = Array(Array(1), Array(0, 1))
+    assert(SloppyPhrase.freq(cb, 1, null) == 0.5f) // naive walk over-matches
+    assert(SloppyPhrase.freq(cb, 1, terms) == 0.0f)
+    assert(SloppyPhrase.freq(cb, 2, terms) == 1.0f / 3)
+  }
+
+  test("hidden collisions: \"b b\" fills both overlapping slots adjacently") {
+    // doc "b b": slot unions both [0,1]; b@0 takes slot0, b@1 takes slot1
+    // -> perfect alignment, freq 1.0
+    val terms = Array(Array(0, 1), Array(1, 2))
+    val bb = Array(Array(0, 1), Array(0, 1))
+    assert(SloppyPhrase.freq(bb, 1, terms) == 1.0f)
+  }
+
+  test("hidden collisions: the reference's \"A C B\" example matches via A,C") {
+    // P1={A,B}, P2={B,C}, doc "A C B" (SloppyPhraseScorer.cs:395 example):
+    // slot0 union = [0,2] (A@0, B@2), slot1 union = [1,2] (C@1, B@2).
+    // A@0/C@1 is the perfect window; B@2 may serve only ONE of the slots.
+    val terms = Array(Array(0, 1), Array(1, 2))
+    val acb = Array(Array(0, 2), Array(1, 2))
+    assert(SloppyPhrase.freq(acb, 1, terms) == 1.0f)
+  }
+
+  test("disjoint and identical slot sets behave as before with term identities") {
+    // disjoint slots: identities present but no repeats -> same walk
+    assert(SloppyPhrase.freq(Array(Array(0), Array(1)), 3,
+      Array(Array(0), Array(1))) == 1.0f)
+    // identical slots = single-term repeat group: "A A A" vs "A A A"~1
+    // (LUCENE-1310 shape, same value as the positions-only path)
+    val a3 = Array(Array(0, 1, 2), Array(0, 1, 2), Array(0, 1, 2))
+    val ids = Array(Array(7), Array(7), Array(7))
+    assert(SloppyPhrase.freq(a3, 1, ids) == SloppyPhrase.freq(a3, 1, null))
+  }
+
   test("repeats: \"H H H H\" needs four H's — never three (LUCENE-3412)") {
     val doc54 = "H H H H"
     val doc53 = "H H H X X X H H H X X X H H H"
