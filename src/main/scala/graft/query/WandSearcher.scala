@@ -178,8 +178,13 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
             Iterator.empty
           } else {
             scanned.add(1)
-            if (b.term_id == mId) {
-              // only the MUST term's clause scores may grow theta
+            // only the MUST term's clause scores may grow theta — and only
+            // a block whose own ub can exceed the full heap's k-th best can
+            // raise it (the scan-side decode exists solely for theta, so
+            // skip it when it provably cannot help; the reduce side
+            // re-scores every surviving block regardless)
+            if (b.term_id == mId &&
+              !(heap.size == kk && ubD(tw, b.max_tf, b.max_nb) <= theta)) {
               val (_, tfs, nbs) = PostingCodec.decode(
                 ScoreBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
                   b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
@@ -426,21 +431,26 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
                 Iterator.empty
               } else {
                 scanned.add(1)
-                val heap = heaps.getOrElseUpdate(b.term_id,
-                  new java.util.PriorityQueue[java.lang.Float](kk + 1))
-                val (docs, tfs, nbs) = PostingCodec.decode(
-                  ScoreBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
-                    b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
-                var i = 0
-                while (i < b.cnt) {
-                  val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
-                  if (heap.size < kk) heap.offer(s)
-                  else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
-                  if (heap.size == kk) {
-                    val cand = heap.peek().toDouble
-                    if (cand > theta) theta = cand
+                // scan-side decode exists solely to grow theta: a block whose
+                // scores are all <= theta (ub <= theta) cannot produce a
+                // cand above it from any per-term heap — ship undecoded
+                if (!(ubD(tw, b.max_tf, b.max_nb) <= theta)) {
+                  val heap = heaps.getOrElseUpdate(b.term_id,
+                    new java.util.PriorityQueue[java.lang.Float](kk + 1))
+                  val (docs, tfs, nbs) = PostingCodec.decode(
+                    ScoreBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
+                      b.tf_bytes, b.norm_bytes, b.max_tf, b.max_nb))
+                  var i = 0
+                  while (i < b.cnt) {
+                    val s = Bm25.score(tw.weightValue, tfs(i).toFloat, tw.cache, nbs(i))
+                    if (heap.size < kk) heap.offer(s)
+                    else if (s > heap.peek()) { heap.poll(); heap.offer(s) }
+                    if (heap.size == kk) {
+                      val cand = heap.peek().toDouble
+                      if (cand > theta) theta = cand
+                    }
+                    i += 1
                   }
-                  i += 1
                 }
                 val ti = bTi.value(b.term_id)
                 PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
