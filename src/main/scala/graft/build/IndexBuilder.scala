@@ -77,6 +77,16 @@ object IndexBuilder {
       // false = DOCS_AND_FREQS (BM25 top-k only; positional queries on such
       //         an index raise a clear error).
       positions: Boolean = true,
+      // Per-position PAYLOADS (DelimitedPayloadTokenFilter semantics,
+      // /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Payloads/
+      // DelimitedPayloadTokenFilter.cs + FloatEncoder): tokens of the form
+      // "term|1.5" index the part before the LAST '|' as the term and the
+      // part after as a 4-byte float payload (PayloadHelper.EncodeSingle
+      // byte order); tokens without the delimiter carry no payload. Pair
+      // with a whitespace-preserving analyzer (WhitespaceAnalyzer) — the
+      // standard chain would split at the '|'. Off by default: the payload
+      // branch never executes on the ingest hot path.
+      payloads: Boolean = false,
       // Split size for re-reading the `runs` table in S2-S4. Runs rows are
       // blob-dense, so the 128 MB default yields a handful of fat splits and
       // every single-pass downstream stage (norms/termdict/docmap decode, the
@@ -166,7 +176,7 @@ object IndexBuilder {
       if (!manifest.isDone("docmap")) {
         val t0 = System.nanoTime()
         val bOff = spark.sparkContext.broadcast(offsets)
-        spark.read.parquet(s"$outDir/runs").as[Run]
+        ensurePay(spark.read.parquet(s"$outDir/runs")).as[Run]
           .filter(_.term == DocmapKey)
           .flatMap { r =>
             val off = bOff.value.getOrElse(r.pid, 0L)
@@ -247,6 +257,7 @@ object IndexBuilder {
     val p = partitions(spark, opts)
     val bAn2 = spark.sparkContext.broadcast(opts.analyzer)
     val bPos2 = spark.sparkContext.broadcast(opts.positions)
+    val bPay2 = spark.sparkContext.broadcast(opts.payloads)
 
     // ---- S1: per-partition posting runs (DWPT analog); ids already global
     if (!manifest.isDone("runs")) {
@@ -256,7 +267,7 @@ object IndexBuilder {
         .repartitionByRange(p, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, String)]
-        .mapPartitions(buildRuns(-1, _, bAn2.value, bPos2.value))
+        .mapPartitions(buildRuns(-1, _, bAn2.value, bPos2.value, bPay2.value))
       runs.write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
@@ -272,7 +283,7 @@ object IndexBuilder {
     val manifest = new ManifestStore(outDir, spark)
     withBuildConfs(spark, opts) {
     val p = partitions(spark, opts)
-    val runs = spark.read.parquet(s"$outDir/runs").as[Run]
+    val runs = ensurePay(spark.read.parquet(s"$outDir/runs")).as[Run]
     val offsets = runOffsets(spark, outDir)
     val bOff = spark.sparkContext.broadcast(offsets)
 
@@ -363,7 +374,15 @@ object IndexBuilder {
   final case class KeyedRun(
       term_id: Long, first_doc: Long, last_doc: Long, cnt: Int, sum_tf: Long,
       max_tf: Int, max_nb: Int, doc_bytes: Array[Byte], tf_bytes: Array[Byte],
-      norm_bytes: Array[Byte], pos_bytes: Array[Byte])
+      norm_bytes: Array[Byte], pos_bytes: Array[Byte],
+      pay_bytes: Array[Byte] = Array.emptyByteArray)
+
+  /** Back-compat shim: runs tables written before the payloads column
+    * existed read as payload-less (encoders need every field present).
+    */
+  private def ensurePay(df: DataFrame): DataFrame =
+    if (df.columns.contains("pay_bytes")) df
+    else df.withColumn("pay_bytes", lit(Array.emptyByteArray))
 
   private def partitions(spark: SparkSession, opts: Options): Int =
     if (opts.numPartitions > 0) opts.numPartitions
@@ -379,7 +398,8 @@ object IndexBuilder {
     */
   private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)],
                                analyzer: TextAnalyzer = Analyzer,
-                               positions: Boolean = true): Iterator[Run] = {
+                               positions: Boolean = true,
+                               payloads: Boolean = false): Iterator[Run] = {
     // Per-term growable PRIMITIVE postings buffers. The per-token path
     // allocates nothing beyond the token strings themselves: no per-doc
     // tf/positions map, no boxed appends (an earlier boxed-ArrayBuffer
@@ -398,17 +418,33 @@ object IndexBuilder {
       var lastDoc = -1L
       var pos: Array[Int] = if (positions) new Array[Int](8) else null
       var posN = 0
+      // payload stream, position-aligned (varint len + bytes per position) —
+      // allocated only on payload builds, never touched otherwise
+      var pay: java.io.ByteArrayOutputStream = null
+      var payOffs: Array[Int] = null // stream offset at each POSTING start
       def startPosting(doc: Long, nb: Byte): Unit = {
         if (n == docs.length) {
           docs = java.util.Arrays.copyOf(docs, n * 2)
           tfs = java.util.Arrays.copyOf(tfs, n * 2)
           norms = java.util.Arrays.copyOf(norms, n * 2)
+          if (payOffs != null) payOffs = java.util.Arrays.copyOf(payOffs, n * 2)
+        }
+        if (payloads) {
+          if (pay == null) {
+            pay = new java.io.ByteArrayOutputStream()
+            payOffs = new Array[Int](docs.length)
+          }
+          payOffs(n) = pay.size()
         }
         docs(n) = doc; tfs(n) = 1; norms(n) = nb; n += 1; lastDoc = doc
       }
       def addPos(p: Int): Unit = {
         if (posN == pos.length) pos = java.util.Arrays.copyOf(pos, posN * 2)
         pos(posN) = p; posN += 1
+      }
+      def addPay(bytes: Array[Byte]): Unit = {
+        graft.codec.ForCodec.writeVarLong(pay, bytes.length.toLong)
+        pay.write(bytes)
       }
     }
     val terms = new mutable.HashMap[String, Acc]()
@@ -433,10 +469,28 @@ object IndexBuilder {
         val t = toks(i)
         p += 1
         if (t ne null) {
-          val acc = terms.getOrElseUpdate(t, new Acc)
+          var term = t
+          var payBytes: Array[Byte] = null
+          if (payloads) {
+            // DelimitedPayloadTokenFilter: split at the LAST delimiter; the
+            // suffix float-encodes (PayloadHelper.EncodeSingle byte order);
+            // malformed/absent payloads index the token payload-less
+            val d = t.lastIndexOf('|')
+            if (d > 0 && d < t.length - 1) {
+              try {
+                val bits = java.lang.Float.floatToIntBits(t.substring(d + 1).toFloat)
+                payBytes = Array[Byte]((bits >>> 24).toByte, (bits >>> 16).toByte,
+                  (bits >>> 8).toByte, bits.toByte)
+                term = t.substring(0, d)
+              } catch { case _: NumberFormatException => }
+            }
+          }
+          val acc = terms.getOrElseUpdate(term, new Acc)
           if (acc.n == 0 || acc.lastDoc != docId) acc.startPosting(docId, nb)
           else acc.tfs(acc.n - 1) += 1
           if (positions) acc.addPos(p)
+          if (payloads)
+            acc.addPay(if (payBytes == null) Array.emptyByteArray else payBytes)
         }
         i += 1
       }
@@ -456,7 +510,18 @@ object IndexBuilder {
         }
         out
       }
-      chunkedRuns(pid, term, docs, tfs, norms, poss)
+      val paySegs = if (!payloads || acc.pay == null) null else {
+        val stream = acc.pay.toByteArray
+        val out = new Array[Array[Byte]](acc.n)
+        var i = 0
+        while (i < acc.n) {
+          val end = if (i + 1 < acc.n) acc.payOffs(i + 1) else stream.length
+          out(i) = java.util.Arrays.copyOfRange(stream, acc.payOffs(i), end)
+          i += 1
+        }
+        out
+      }
+      chunkedRuns(pid, term, docs, tfs, norms, poss, paySegs)
     }
     val normsRun =
       if (normN == 0) Iterator.empty
@@ -466,17 +531,20 @@ object IndexBuilder {
   }
 
   private def chunkedRuns(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
-                          norms: Array[Byte], poss: Array[Array[Int]]): Iterator[Run] =
+                          norms: Array[Byte], poss: Array[Array[Int]],
+                          paySegs: Array[Array[Byte]] = null): Iterator[Run] =
     if (docs.length <= RunMaxPostings)
-      Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss))
+      Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss, paySegs))
     else docs.indices.grouped(RunMaxPostings).map { idxs =>
       val (a, b) = (idxs.head, idxs.last + 1)
       encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b),
-        if (poss == null) null else poss.slice(a, b))
+        if (poss == null) null else poss.slice(a, b),
+        if (paySegs == null) null else paySegs.slice(a, b))
     }
 
   private[graft] def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
-                           norms: Array[Byte], poss: Array[Array[Int]]): Run = {
+                           norms: Array[Byte], poss: Array[Array[Int]],
+                           paySegs: Array[Array[Byte]] = null): Run = {
     val gaps = new Array[Long](docs.length - 1)
     var i = 1
     while (i < docs.length) {
@@ -498,7 +566,12 @@ object IndexBuilder {
     }
     Run(pid, term, docs.head, docs.last, docs.length, sumTf, maxTf, maxNb,
       ForCodec.pack(gaps), ForCodec.pack(tfs.map(_.toLong)), norms,
-      if (poss == null) Array.emptyByteArray else PostingCodec.packPositions(poss))
+      if (poss == null) Array.emptyByteArray else PostingCodec.packPositions(poss),
+      if (paySegs == null) Array.emptyByteArray else {
+        val buf = new java.io.ByteArrayOutputStream()
+        paySegs.foreach(buf.write)
+        buf.toByteArray
+      })
   }
 
   private[graft] def decodeRun(r: Run): (Array[Long], Array[Int], Array[Byte]) = {
@@ -539,7 +612,9 @@ object IndexBuilder {
           val tfsB = new mutable.ArrayBuilder.ofInt
           val normsB = new mutable.ArrayBuilder.ofByte
           val poss = new mutable.ArrayBuffer[Array[Int]]()
+          val pays = new mutable.ArrayBuffer[Array[Byte]]()
           var hasPos = true
+          var hasPay = true
           while (buf.hasNext && buf.head.term_id == tid) {
             val r = buf.next()
             val (d, t, n) = decodeRun(
@@ -551,6 +626,12 @@ object IndexBuilder {
             if (hasPos) {
               if (r.cnt > 0 && r.pos_bytes.isEmpty) { hasPos = false; poss.clear() }
               else poss ++= PostingCodec.unpackPositions(r.pos_bytes, t)
+            }
+            if (hasPay) {
+              // payloads ride as opaque per-posting segments (a mixed merge
+              // drops them for the term, mirroring the positions rule)
+              if (r.cnt > 0 && r.pay_bytes.isEmpty) { hasPay = false; pays.clear() }
+              else pays ++= PostingCodec.splitPaySegments(r.pay_bytes, t)
             }
           }
           val docs = docsB.result()
@@ -572,7 +653,8 @@ object IndexBuilder {
             sortIdx(byDoc, (a, b) => docs(a) < docs(b))
             PostingCodec.encodeRun(tid,
               byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)),
-              if (hasPos) byDoc.map(poss(_)) else null)
+              if (hasPos) byDoc.map(poss(_)) else null,
+              if (hasPay) byDoc.map(pays(_)) else null)
           }
         }
         pending.next()

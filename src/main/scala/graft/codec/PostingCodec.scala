@@ -38,7 +38,13 @@ final case class PostingBlock(
     norm_bytes: Array[Byte],
     pos_bytes: Array[Byte],
     max_tf: Int,
-    max_nb: Int)
+    max_nb: Int,
+    // Per-position payload stream (varint length + raw bytes, tf entries per
+    // posting — the .pos-payload analog of Lucene41PostingsWriter's
+    // payload-carrying positions, /root/reference/src/Lucene.Net/Codecs/
+    // Lucene41/Lucene41PostingsWriter.cs:381-405), in its OWN Parquet column
+    // so every non-payload scan prunes it. Empty when the index stores none.
+    pay_bytes: Array[Byte] = Array.emptyByteArray)
 
 /** Scoring-path projection of [[PostingBlock]] — everything BM25 needs and
   * nothing else, so Parquet column pruning skips the positions payload
@@ -77,6 +83,24 @@ final case class ScoreSpanBlock(
 object ScoreSpanBlock {
   val cols: Seq[String] = Seq("term_id", "first_doc", "last_doc", "cnt",
     "doc_bytes", "tf_bytes", "norm_bytes", "max_tf", "max_nb")
+}
+
+/** Payload-path projection: scoring columns plus the payload stream
+  * (PayloadTermQuery reads postings-with-payloads,
+  * /root/reference/src/Lucene.Net/Search/Payloads/PayloadTermQuery.cs:117).
+  */
+final case class PayBlock(
+    term_id: Long,
+    first_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    pay_bytes: Array[Byte])
+
+object PayBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "cnt", "doc_bytes",
+    "tf_bytes", "norm_bytes", "pay_bytes")
 }
 
 /** Doc-ids-only projection — the cheapest scan (conjunction pre-filters). */
@@ -134,7 +158,8 @@ object PostingCodec {
     * position list (length tfs(i)); pass null for a positions-less run.
     */
   def encodeRun(termId: Long, docIds: Array[Long], tfs: Array[Int],
-                norms: Array[Byte], poss: Array[Array[Int]]): Iterator[PostingBlock] = {
+                norms: Array[Byte], poss: Array[Array[Int]],
+                paySegs: Array[Array[Byte]] = null): Iterator[PostingBlock] = {
     require(docIds.length == tfs.length && docIds.length == norms.length)
     docIds.indices.iterator.grouped(BlockSize).map { idxs =>
       val n = idxs.length
@@ -168,9 +193,74 @@ object PostingCodec {
           while (j < n) { sel(j) = poss(idxs(j)); j += 1 }
           packPositions(sel)
         }
+      val payBytes =
+        if (paySegs == null) Array.emptyByteArray
+        else {
+          val buf = new java.io.ByteArrayOutputStream()
+          j = 0
+          while (j < n) { buf.write(paySegs(idxs(j))); j += 1 }
+          buf.toByteArray
+        }
       PostingBlock(termId, first, docIds(idxs.last), n,
-        ForCodec.pack(gaps), ForCodec.pack(tfl), normArr, posBytes, maxTf, maxNb)
+        ForCodec.pack(gaps), ForCodec.pack(tfl), normArr, posBytes, maxTf, maxNb,
+        payBytes)
     }
+  }
+
+  /** Split a payload stream into raw per-POSTING segments (each holds its
+    * tf (varint length + bytes) entries, opaque — re-blocking moves whole
+    * postings, so segments never need interpreting).
+    */
+  def splitPaySegments(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](tfs.length)
+    val r = new ForCodec.Reader(bytes, 0)
+    var start = 0
+    var i = 0
+    while (i < tfs.length) {
+      var j = 0
+      // NOTE: must read the varint BEFORE the += — `r.pos += f()` evaluates
+      // the old r.pos first, silently discarding f()'s own pos advance
+      while (j < tfs(i)) { val len = r.readVarLong().toInt; r.pos += len; j += 1 }
+      out(i) = java.util.Arrays.copyOfRange(bytes, start, r.pos)
+      start = r.pos
+      i += 1
+    }
+    out
+  }
+
+  /** Decode one posting's payload stream into per-position byte arrays. */
+  def decodePayloads(seg: Array[Byte], tf: Int): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](tf)
+    val r = new ForCodec.Reader(seg, 0)
+    var i = 0
+    while (i < tf) {
+      val len = r.readVarLong().toInt
+      out(i) = java.util.Arrays.copyOfRange(seg, r.pos, r.pos + len)
+      r.pos += len
+      i += 1
+    }
+    out
+  }
+
+  /** Per-position payload arrays (one list per posting, aligned with its
+    * positions) -> the varint-length-prefixed stream; null entries encode
+    * as length 0 (no payload at that position).
+    */
+  def packPayloads(pays: Array[Array[Array[Byte]]]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < pays.length) {
+      val ps = pays(i)
+      var j = 0
+      while (j < ps.length) {
+        val p = if (ps(j) == null) Array.emptyByteArray else ps(j)
+        ForCodec.writeVarLong(buf, p.length.toLong)
+        buf.write(p)
+        j += 1
+      }
+      i += 1
+    }
+    buf.toByteArray
   }
 
   /** Per-posting position lists -> one varint-delta byte stream (first

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Gate {
 
   /** Bump when the on-disk index layout changes (invalidates cached builds). */
-  final val Version = "v5"
+  final val Version = "v6"
 
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -54,6 +54,31 @@ object Gate {
         .select(col("doc_id"), col("text"))
       IndexBuilder.build(docs, dir,
         IndexBuilder.Options(analyzer = graft.analysis.EnglishAnalyzer))
+      dir
+    })
+
+  /** Payload-carrying index variant: every token gets a deterministic
+    * `|<w>` float suffix with w = ((doc_id + position) % 8 + 1) / 2 (position
+    * 1-based) — DelimitedPayloadTokenFilter input
+    * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Payloads/
+    * DelimitedPayloadTokenFilter.cs), indexed under WhitespaceAnalyzer so the
+    * delimiter survives tokenization. The formula is mirrored exactly by the
+    * DuckDB oracle (all w are multiples of 0.5, so every float32 fold over
+    * them is exact).
+    */
+  def indexDirPayload(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#pay", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-pay-$name"
+      val w = (x: Column, i: Column) =>
+        concat(x, lit("|"),
+          (((col("doc_id") + i + 1) % 8 + 1).cast("double") / 2.0).cast("string"))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "), w)).as("text"))
+      IndexBuilder.build(docs, dir,
+        IndexBuilder.Options(analyzer = graft.analysis.WhitespaceAnalyzer,
+          payloads = true))
       dir
     })
 
@@ -251,6 +276,23 @@ object Gate {
         tieBreaker = 0.1f), 10)),
     "ft_engine_phrase" -> ((s, d) =>
       engineTopk(s, d, graft.query.Query.Phrase(Seq("fast", "table")), 10)),
+    "ft_engine_payload" -> ((s, d) => {
+      // PayloadTermQuery, Avg fold, spanScore * payloadScore — the payload
+      // index stores a float payload at EVERY position (see indexDirPayload)
+      val idx = indexDirPayload(s, d)
+      new graft.query.Searcher(s, idx)
+        .search(graft.query.Query.PayloadTerm("vector"), 10)
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+    }),
+    "ft_engine_payload_min" -> ((s, d) => {
+      // Min fold, payloadScore only (includeSpanScore = false) — ties on the
+      // 8 distinct payload values resolve by doc_id ascending
+      val idx = indexDirPayload(s, d)
+      new graft.query.Searcher(s, idx)
+        .search(graft.query.Query.PayloadTerm("vector",
+          graft.query.Query.PayloadFunc.Min, includeSpanScore = false), 10)
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+    }),
     // --- search: term / boolean algebra / dismax / phrase ------------------
     "ft_q_term" -> ((s, d) => topkSum(s, d, Seq("vector"), 10)),
     "ft_q_term_stemmed" -> ((s, d) => {

@@ -108,6 +108,41 @@ object GateOracle {
        |  JOIN ntab ON ntab.nb = b.nb CROSS JOIN fstats fs
        |)""".stripMargin
 
+  /** Payload-index prelude: WhitespaceAnalyzer tokenization (every token of
+    * the space-split text; the payload suffix is NOT part of the indexed
+    * term), payload w = ((doc_id + p) % 8 + 1)/2 recomputed from the
+    * [[Gate.indexDirPayload]] formula, norms/stats over ALL tokens (no
+    * stoplist, no length cap). Query term: 'vector'.
+    */
+  private val payprelude: String =
+    s"""WITH psplits AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), ppos AS (
+       |  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS p FROM psplits
+       |), pnbt AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len = 0 THEN 255 ELSE
+       |      CAST((floor(log2(y)) + 127) * 4
+       |           + floor(y / power(2.0, floor(log2(y))) * 4) - 4 - 384 AS BIGINT)
+       |    END AS nb
+       |  FROM (SELECT doc_id, len(l) AS len,
+       |          CAST(CAST(1.0 / sqrt(len(l)) AS REAL) AS DOUBLE) AS y FROM psplits)
+       |), ntab(nb, nt) AS (VALUES $ntabValues
+       |), pstats AS (
+       |  SELECT CAST(CAST((SELECT count(*) FROM ppos) AS DOUBLE)
+       |              / (SELECT count(*) FROM documents) AS REAL) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n
+       |), pocc AS (
+       |  SELECT doc_id, p, CAST((doc_id + p) % 8 + 1 AS DOUBLE) / 2 AS w
+       |  FROM ppos WHERE t = 'vector'
+       |), pagg AS (
+       |  SELECT doc_id, count(*) AS tf, sum(w) AS sumw, min(w) AS minw
+       |  FROM pocc GROUP BY doc_id
+       |), pidf AS (
+       |  SELECT CAST(ln(1.0 + (fs.n - d.df + 0.5) / (d.df + 0.5)) AS REAL) AS idf
+       |  FROM (SELECT count(*) AS df FROM pagg) d CROSS JOIN pstats fs
+       |)""".stripMargin
+
   private def topk(where: String, k: Int = 10, having: String = ""): String =
     s"""$prelude
        |SELECT doc_id, ${qz("sum(s)")} AS score_q
@@ -349,6 +384,27 @@ object GateOracle {
          |)
          |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    // PayloadTermQuery gates run on the WhitespaceAnalyzer payload index
+    // (Gate.indexDirPayload): token = "<term>|<w>", w = ((doc_id + p) % 8 + 1)/2
+    // at 1-based position p. All w are multiples of 0.5, so every float32
+    // fold below (sum, avg, min) is exact and order-independent; the span
+    // kernel mirrors fprelude with freq = 0.5f * tf (TermSpans matchLength 1).
+    "ft_engine_payload" ->
+      s"""$payprelude, tot AS (
+         |  SELECT a.doc_id,
+         |    (((i.idf * $k1p1) * (CAST(a.tf AS REAL) * CAST(0.5e0 AS REAL)))
+         |      / ((CAST(a.tf AS REAL) * CAST(0.5e0 AS REAL))
+         |         + $k1f * (CAST(0.25e0 AS REAL) + (CAST(0.75e0 AS REAL) * ntab.nt) / fs.avgdl)))
+         |    * (CAST(a.sumw AS REAL) / CAST(a.tf AS REAL)) AS s
+         |  FROM pagg a JOIN pnbt b USING (doc_id) JOIN ntab ON ntab.nb = b.nb
+         |  CROSS JOIN pidf i CROSS JOIN pstats fs
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_engine_payload_min" ->
+      s"""$payprelude
+         |SELECT doc_id, ${qz("CAST(CAST(minw AS REAL) AS DOUBLE)")} AS score_q
+         |FROM pagg ORDER BY CAST(minw AS REAL) DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_prefix_wide" ->
       s"""$prelude

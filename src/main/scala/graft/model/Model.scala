@@ -30,7 +30,8 @@ final case class Run(
     doc_bytes: Array[Byte], // ForCodec-packed gaps (cnt-1 values)
     tf_bytes: Array[Byte],  // ForCodec-packed tfs (cnt values)
     norm_bytes: Array[Byte], // raw norm byte per posting
-    pos_bytes: Array[Byte]  // varint-delta positions, tf per posting (may be empty)
+    pos_bytes: Array[Byte], // varint-delta positions, tf per posting (may be empty)
+    pay_bytes: Array[Byte] = Array.emptyByteArray // per-position payloads (varint len + bytes; empty when the index stores none)
 )
 
 /** Doc-norms sidecar row: emitted-token count and its lossy norm byte. */

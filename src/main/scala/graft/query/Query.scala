@@ -82,6 +82,39 @@ object Query {
     */
   final case class ConstantScore(query: Query, boost: Float = 1.0f) extends Query
 
+  /** PayloadTermQuery (/root/reference/src/Lucene.Net/Search/Payloads/
+    * PayloadTermQuery.cs): a term query whose score folds the per-occurrence
+    * payloads through `func`:
+    *
+    *   spanScore    = BM25 with freq = SUM over occurrences of
+    *                  sloppyFreq(1) = 0.5f each (TermSpans windows are
+    *                  [pos, pos+1), so matchLength is always 1 —
+    *                  PayloadTermQuery.cs:101-104)
+    *   payloadScore = func-fold of the per-occurrence payload factors
+    *                  (Average/Min/MaxPayloadFunction.cs; factor = the
+    *                  float-decoded 4-byte payload when present, 1f when the
+    *                  position carries none — the PayloadHelper.DecodeSingle
+    *                  setup of the reference payload test suite,
+    *                  /root/reference/src/Lucene.Net.Tests/Search/Payloads/
+    *                  PayloadHelper.cs; stock BM25Similarity.ScorePayload
+    *                  would constant-fold to 1)
+    *   score        = spanScore * payloadScore when includeSpanScore,
+    *                  else payloadScore alone (PayloadTermQuery.cs:133-135)
+    *
+    * Requires an index built with IndexBuilder.Options(payloads = true).
+    */
+  final case class PayloadTerm(term: String, func: PayloadFunc = PayloadFunc.Avg,
+                               includeSpanScore: Boolean = true,
+                               boost: Float = 1.0f) extends Query
+
+  /** Payload fold (PayloadFunction.cs subclasses). */
+  sealed trait PayloadFunc extends Serializable
+  object PayloadFunc {
+    case object Avg extends PayloadFunc // AveragePayloadFunction.cs
+    case object Min extends PayloadFunc // MinPayloadFunction.cs
+    case object Max extends PayloadFunc // MaxPayloadFunction.cs
+  }
+
   /** DisjunctionMaxQuery: score = max(clause scores) + tieBreaker * (sum of
     * the others), float32
     * (/root/reference/src/Lucene.Net/Search/DisjunctionMaxScorer.cs:60:

@@ -97,7 +97,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
          _: Query.MultiPhrase | _: Query.ConstantScore |
-         _: Query.DisMax | _: Query.MatchAll => true
+         _: Query.DisMax | _: Query.MatchAll | _: Query.PayloadTerm => true
     case _ => false
   }
 
@@ -121,6 +121,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
       spark.read.parquet(s"$indexDir/norms")
         .select(col("doc_id"), lit(boost).cast("float").as("score"))
     case dm: Query.DisMax => disMaxScoreAll(dm)
+    case pt: Query.PayloadTerm => payloadScoreAll(pt)
     case Query.ConstantScore(mt, boost) if Rewrite.isMultiTerm(mt) =>
       // constant-score FILTER rewrite (ConstantScoreAutoRewrite semantics):
       // the docset of every matching term, score = boost, never expanded
@@ -453,6 +454,78 @@ final class Searcher(val spark: SparkSession, indexDir: String,
 
     PositionalScan.score(spark, tagged, ids.size, slotIdx, width,
       slop, weightValue, cache).toDF("doc_id", "score")
+  }
+
+  /** PayloadTermQuery execution (see [[Query.PayloadTerm]]): one pruned scan
+    * of the payload-carrying blocks, scored posting-at-a-time — spanScore
+    * from the shared BM25 kernel with freq = 0.5f * tf (every TermSpans
+    * window has matchLength 1), payload factors folded in position order.
+    */
+  private def payloadScoreAll(pt: Query.PayloadTerm): DataFrame = {
+    import graft.codec.PayBlock
+    val dict = lookup(Seq(pt.term))
+    if (!dict.contains(pt.term)) return emptyResult
+    val d = dict(pt.term)
+    val w = Bm25.termWeight(d.term_id, d.df, stats.max_doc, stats.sum_ttf, pt.boost)
+    val bw = spark.sparkContext.broadcast(w)
+    val func = pt.func
+    val includeSpan = pt.includeSpanScore
+    postings
+      .filter(col("term_id") === d.term_id)
+      .select(PayBlock.cols.map(col): _*)
+      .as[PayBlock]
+      .flatMap { b =>
+        require(b.cnt == 0 || b.pay_bytes.nonEmpty,
+          "payloads not indexed: rebuild with IndexBuilder.Options(payloads = true) " +
+            "to run payload queries")
+        val tw = bw.value
+        val (docs, tfs) = PostingCodec.decodeDocsTfs(b.first_doc, b.cnt,
+          b.doc_bytes, b.tf_bytes)
+        val r = new graft.codec.ForCodec.Reader(b.pay_bytes, 0)
+        docs.indices.iterator.map { i =>
+          val tf = tfs(i)
+          // freq: tf additions of 0.5f — exactly representable, fold matches
+          // the reference's occurrence-order accumulation bit-for-bit
+          var freq = 0.0f
+          var j = 0
+          while (j < tf) { freq += 0.5f; j += 1 }
+          var payloadScore = 0.0f
+          var seen = 0
+          j = 0
+          while (j < tf) {
+            val len = r.readVarLong().toInt
+            val factor =
+              if (len == 4) {
+                val bits = ((b.pay_bytes(r.pos) & 0xff) << 24) |
+                  ((b.pay_bytes(r.pos + 1) & 0xff) << 16) |
+                  ((b.pay_bytes(r.pos + 2) & 0xff) << 8) |
+                  (b.pay_bytes(r.pos + 3) & 0xff)
+                java.lang.Float.intBitsToFloat(bits)
+              } else 1.0f
+            r.pos += len
+            payloadScore = func match {
+              case Query.PayloadFunc.Avg => payloadScore + factor
+              case Query.PayloadFunc.Min =>
+                if (seen == 0) factor else math.min(payloadScore, factor)
+              case Query.PayloadFunc.Max =>
+                if (seen == 0) factor else math.max(payloadScore, factor)
+            }
+            seen += 1
+            j += 1
+          }
+          val docScore = func match {
+            case Query.PayloadFunc.Avg =>
+              if (seen > 0) payloadScore / seen else 1.0f
+            case _ => if (seen > 0) payloadScore else 1.0f
+          }
+          val out =
+            if (includeSpan)
+              Bm25.score(tw.weightValue, freq, tw.cache, b.norm_bytes(i)) * docScore
+            else docScore
+          (docs(i), out)
+        }
+      }
+      .toDF("doc_id", "score")
   }
 
   private def emptyResult: DataFrame =
