@@ -176,8 +176,12 @@ object IndexBuilder {
       if (!manifest.isDone("docmap")) {
         val t0 = System.nanoTime()
         val bOff = spark.sparkContext.broadcast(offsets)
-        ensurePay(spark.read.parquet(s"$outDir/runs")).as[Run]
-          .filter(_.term == DocmapKey)
+        // Column-form predicate: pushes the term filter into the parquet
+        // scan (row-group pruning + no Run deserialization of the blob
+        // columns for the 99.99% of rows that are real postings — a typed
+        // lambda filter here decoded EVERY run row first).
+        ensurePay(spark.read.parquet(s"$outDir/runs")
+            .where(col("term") === DocmapKey)).as[Run]
           .flatMap { r =>
             val off = bOff.value.getOrElse(r.pid, 0L)
             decodeDocmapPayload(r).map { case (local, c, t) => (off + local, c, t) }
@@ -293,7 +297,8 @@ object IndexBuilder {
     val normsF = Future {
       if (!manifest.isDone("norms")) {
         val t0 = System.nanoTime()
-        val norms = runs.filter(_.term == NormsKey).flatMap { r =>
+        // Column-form predicate — same pushdown rationale as the docmap scan
+        val norms = runs.filter(col("term") === NormsKey).flatMap { r =>
           val off = bOff.value.getOrElse(r.pid, 0L)
           val (docs, lens, _) = decodeRun(r)
           docs.indices.iterator.map { i =>
@@ -348,7 +353,16 @@ object IndexBuilder {
         .drop("off", "pid")
         .join(termdict.select("term", "term_id"), "term")
         .drop("term")
-        .repartitionByRange(p, col("term_id"), col("first_doc"))
+        // 4x task-to-slot over-partitioning: merge cost per reducer is NOT
+        // row-uniform (a hot term pays an n-log-n impact sort over all its
+        // postings), so at exactly-one-task-per-slot the heaviest range is a
+        // straggler that idles the other slots for its whole tail (measured
+        // ~3 s of a 14 s stage at 4 slots). Finer ranges split hot terms
+        // across more cuts (correct: blocks are per-(term, range) and the
+        // searcher unions them) and let the scheduler pack the waves; the
+        // extra partial blocks per cut are noise. Same fan-out rule a real
+        // cluster uses (reducers = small multiple of total cores).
+        .repartitionByRange(4 * p, col("term_id"), col("first_doc"))
         .sortWithinPartitions("term_id", "first_doc")
         .as[KeyedRun]
       val blocks = keyed.mapPartitions(mergeRuns(impactCache))

@@ -24,14 +24,41 @@ object DevStage {
       s.stop()
     }
     var seq = 0
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     def build(master: String, shuffle: Int, convs: Long): (Double, String) = {
       seq += 1
+      val gc0 = gcMs()
       val dir = s"target/devstage-$seq"
       val s = SparkSession.builder().master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "localhost").getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Int, Long, Long, Long)]()
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0s = scala.collection.concurrent.TrieMap[Int, Long]()
+        private val taskSum = scala.collection.concurrent.TrieMap[Int, Long]()
+        private val taskMax = scala.collection.concurrent.TrieMap[Int, Long]()
+        override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          t0s(e.stageInfo.stageId) = System.nanoTime()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val rt = Option(e.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          taskSum.updateWith(e.stageId)(v => Some(v.getOrElse(0L) + rt))
+          taskMax.updateWith(e.stageId)(v => Some(math.max(v.getOrElse(0L), rt)))
+        }
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val id = e.stageInfo.stageId
+          val wall = t0s.get(id).map(t => (System.nanoTime() - t) / 1000000L).getOrElse(-1L)
+          stages.synchronized {
+            stages += ((id, e.stageInfo.name.takeWhile(_ != ' '), e.stageInfo.numTasks,
+              wall, taskSum.getOrElse(id, 0L), taskMax.getOrElse(id, 0L)))
+          }
+        }
+      })
       import s.implicits._
       val src = if (convs == 1000000L) s.read.parquet(corpus).as[graft.model.Turn]
                 else graft.fixtures.Transcripts.dataset(s, convs)
@@ -41,6 +68,12 @@ object DevStage {
           positions = false))
       val t = (System.nanoTime() - t0) / 1e9
       s.stop()
+      println(f"[devstage] build $master t=$t%.1f gc=${(gcMs() - gc0) / 1000.0}%.1f s")
+      if (convs == 1000000L) stages.sortBy(-_._4).take(12).foreach {
+        case (id, nm, n, wall, sum, mx) =>
+          println(f"[devstage]   stage#$id%-4d $nm%-14s tasks=$n%-4d wall=${wall / 1000.0}%6.1f " +
+            f"taskSum=${sum / 1000.0}%7.1f taskMax=${mx / 1000.0}%6.1f")
+      }
       try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(3000) }
       catch { case _: Throwable => }
       (t, dir)
