@@ -90,14 +90,19 @@ object Query {
     *                  sloppyFreq(1) = 0.5f each (TermSpans windows are
     *                  [pos, pos+1), so matchLength is always 1 —
     *                  PayloadTermQuery.cs:101-104)
-    *   payloadScore = func-fold of the per-occurrence payload factors
-    *                  (Average/Min/MaxPayloadFunction.cs; factor = the
-    *                  float-decoded 4-byte payload when present, 1f when the
-    *                  position carries none — the PayloadHelper.DecodeSingle
-    *                  setup of the reference payload test suite,
+    *   payloadScore = func-fold over occurrences that CARRY a stored payload
+    *                  (IsPayloadAvailable gates ProcessPayload and the no-
+    *                  payload else branch is empty, PayloadTermQuery.cs:
+    *                  117-143 — a bare position neither folds nor counts
+    *                  toward payloadsSeen); factor = the float-decoded
+    *                  4-byte payload (the PayloadHelper.DecodeSingle setup
+    *                  of the reference payload test suite,
     *                  /root/reference/src/Lucene.Net.Tests/Search/Payloads/
     *                  PayloadHelper.cs; stock BM25Similarity.ScorePayload
-    *                  would constant-fold to 1)
+    *                  would constant-fold to 1), 1f for other lengths;
+    *                  zero payload-carrying occurrences => payloadScore 1
+    *                  (each PayloadFunction.DocScore's numPayloadsSeen == 0
+    *                  arm)
     *   score        = spanScore * payloadScore when includeSpanScore,
     *                  else payloadScore alone (PayloadTermQuery.cs:133-135)
     *

@@ -494,23 +494,30 @@ final class Searcher(val spark: SparkSession, indexDir: String,
           j = 0
           while (j < tf) {
             val len = r.readVarLong().toInt
-            val factor =
-              if (len == 4) {
-                val bits = ((b.pay_bytes(r.pos) & 0xff) << 24) |
-                  ((b.pay_bytes(r.pos + 1) & 0xff) << 16) |
-                  ((b.pay_bytes(r.pos + 2) & 0xff) << 8) |
-                  (b.pay_bytes(r.pos + 3) & 0xff)
-                java.lang.Float.intBitsToFloat(bits)
-              } else 1.0f
-            r.pos += len
-            payloadScore = func match {
-              case Query.PayloadFunc.Avg => payloadScore + factor
-              case Query.PayloadFunc.Min =>
-                if (seen == 0) factor else math.min(payloadScore, factor)
-              case Query.PayloadFunc.Max =>
-                if (seen == 0) factor else math.max(payloadScore, factor)
+            if (len > 0) {
+              // a STORED payload at this position: factor = decoded float
+              // for the 4-byte (PayloadHelper) encoding, 1f otherwise.
+              // Positions WITHOUT a stored payload contribute nothing at
+              // all — IsPayloadAvailable gates ProcessPayload and the else
+              // branch is empty (PayloadTermQuery.cs:117-143).
+              val factor =
+                if (len == 4) {
+                  val bits = ((b.pay_bytes(r.pos) & 0xff) << 24) |
+                    ((b.pay_bytes(r.pos + 1) & 0xff) << 16) |
+                    ((b.pay_bytes(r.pos + 2) & 0xff) << 8) |
+                    (b.pay_bytes(r.pos + 3) & 0xff)
+                  java.lang.Float.intBitsToFloat(bits)
+                } else 1.0f
+              payloadScore = func match {
+                case Query.PayloadFunc.Avg => payloadScore + factor
+                case Query.PayloadFunc.Min =>
+                  if (seen == 0) factor else math.min(payloadScore, factor)
+                case Query.PayloadFunc.Max =>
+                  if (seen == 0) factor else math.max(payloadScore, factor)
+              }
+              seen += 1
             }
-            seen += 1
+            r.pos += len
             j += 1
           }
           val docScore = func match {

@@ -16,7 +16,8 @@ import java.nio.file.Files
   * Analysis/Payloads/DelimitedPayloadTokenFilter.cs with FloatEncoder):
   *
   *  - "term|f" indexes `term` with a 4-byte float payload at that position
-  *  - positions without a payload contribute factor 1f to the fold
+  *  - positions WITHOUT a stored payload contribute nothing to the fold
+  *    (IsPayloadAvailable gates ProcessPayload; the else branch is empty)
   *  - spanScore = BM25 with freq = sum of sloppyFreq(1) = 0.5f per occurrence
   *  - score = spanScore * payloadScore (or payloadScore alone)
   */
@@ -33,7 +34,8 @@ class PayloadSpec extends AnyFunSuite {
     (2L, "dog cat dog|2.5"),
     (3L, "fish|1.5 fish|1.5 fish|0.5 cat|3.5"),
     (4L, "bird|2.0 horse|1.0"),
-    (5L, "cat|xx cat|1.0 horse"))
+    (5L, "cat|xx cat|1.0 horse"),
+    (6L, "cat cat|2.0 dog"))
 
   // 3 input partitions so per-term postings merge ACROSS runs in S4
   // (exercises splitPaySegments + the payload re-block in encodeRun)
@@ -45,25 +47,33 @@ class PayloadSpec extends AnyFunSuite {
     d
   }
 
-  // ground truth for 'cat': doc -> (tf, per-occurrence factors in position
-  // order). Doc 2's bare "cat" has no payload -> factor 1f; doc 5's "cat|xx"
-  // is NOT the term 'cat' (malformed payloads index the token verbatim).
-  private val cat: Map[Long, (Int, Seq[Float])] = Map(
-    0L -> (2, Seq(2.0f, 4.0f)),
-    1L -> (1, Seq(0.5f)),
-    2L -> (1, Seq(1.0f)),
-    3L -> (1, Seq(3.5f)),
-    5L -> (1, Seq(1.0f)))
+  // ground truth for 'cat': doc -> (tf, per-occurrence STORED payloads in
+  // position order; None = bare position, which contributes NOTHING to the
+  // fold (reference ProcessPayload's IsPayloadAvailable gate with an empty
+  // else branch)). Doc 5's "cat|xx" is NOT the term 'cat' (malformed
+  // payloads index the token verbatim); doc 6 mixes a bare and a payload
+  // occurrence (Avg divides by payload-carrying occurrences only).
+  private val cat: Map[Long, (Int, Seq[Option[Float]])] = Map(
+    0L -> (2, Seq(Some(2.0f), Some(4.0f))),
+    1L -> (1, Seq(Some(0.5f))),
+    2L -> (1, Seq(None)),
+    3L -> (1, Seq(Some(3.5f))),
+    5L -> (1, Seq(Some(1.0f))),
+    6L -> (2, Seq(None, Some(2.0f))))
 
   private def engine(func: PayloadFunc, includeSpan: Boolean): Seq[(Long, Float)] =
     new Searcher(spark, dir)
       .search(PayloadTerm("cat", func, includeSpan), 10)
       .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
 
-  private def fold(func: PayloadFunc, fs: Seq[Float]): Float = func match {
-    case PayloadFunc.Avg => fs.foldLeft(0.0f)(_ + _) / fs.size
-    case PayloadFunc.Min => fs.reduceLeft(math.min)
-    case PayloadFunc.Max => fs.reduceLeft(math.max)
+  private def fold(func: PayloadFunc, all: Seq[Option[Float]]): Float = {
+    val fs = all.flatten
+    if (fs.isEmpty) 1.0f
+    else func match {
+      case PayloadFunc.Avg => fs.foldLeft(0.0f)(_ + _) / fs.size
+      case PayloadFunc.Min => fs.reduceLeft(math.min)
+      case PayloadFunc.Max => fs.reduceLeft(math.max)
+    }
   }
 
   private def expected(func: PayloadFunc, includeSpan: Boolean): Seq[(Long, Float)] = {
@@ -82,9 +92,11 @@ class PayloadSpec extends AnyFunSuite {
   test("payload folds, payloadScore only: Avg / Min / Max bit-exact") {
     for (f <- Seq(PayloadFunc.Avg, PayloadFunc.Min, PayloadFunc.Max))
       assert(engine(f, includeSpan = false) == expected(f, includeSpan = false), s"func=$f")
-    // spot-check the raw values: Avg doc0 = (2+4)/2, Min doc0 = 2, Max doc0 = 4
+    // spot-checks: Avg doc0 = (2+4)/2; doc2 (bare only) = 1; doc6 (bare +
+    // 2.0) averages over the SINGLE payload-carrying occurrence = 2.0
     val avg = engine(PayloadFunc.Avg, includeSpan = false).toMap
-    assert(avg(0L) == 3.0f && avg(1L) == 0.5f && avg(2L) == 1.0f && avg(3L) == 3.5f)
+    assert(avg(0L) == 3.0f && avg(1L) == 0.5f && avg(2L) == 1.0f &&
+      avg(3L) == 3.5f && avg(6L) == 2.0f)
   }
 
   test("includeSpanScore: spanScore(freq = 0.5f * tf) * payloadScore, bit-exact") {
@@ -106,7 +118,8 @@ class PayloadSpec extends AnyFunSuite {
     val hits = new Searcher(spark, d)
       .search(PayloadTerm("cat", PayloadFunc.Max, includeSpanScore = false), 10)
       .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
-    assert(hits == Seq((0L, 4.0f), (3L, 3.5f), (2L, 1.0f), (5L, 1.0f), (1L, 0.5f)))
+    assert(hits == Seq((0L, 4.0f), (3L, 3.5f), (6L, 2.0f), (2L, 1.0f),
+      (5L, 1.0f), (1L, 0.5f)))
   }
 
   test("payload query on a payload-less index fails with a clear error") {
