@@ -103,6 +103,25 @@ object PayBlock {
     "tf_bytes", "norm_bytes", "pay_bytes")
 }
 
+/** Positions + payloads projection (PayloadNearQuery reads both: span
+  * matching needs positions, scoring folds the payloads at the matched
+  * positions).
+  */
+final case class PosPayBlock(
+    term_id: Long,
+    first_doc: Long,
+    cnt: Int,
+    doc_bytes: Array[Byte],
+    tf_bytes: Array[Byte],
+    norm_bytes: Array[Byte],
+    pos_bytes: Array[Byte],
+    pay_bytes: Array[Byte])
+
+object PosPayBlock {
+  val cols: Seq[String] = Seq("term_id", "first_doc", "cnt", "doc_bytes",
+    "tf_bytes", "norm_bytes", "pos_bytes", "pay_bytes")
+}
+
 /** Doc-ids-only projection — the cheapest scan (conjunction pre-filters). */
 final case class DocsBlock(
     term_id: Long,

@@ -284,6 +284,19 @@ object Gate {
         .search(graft.query.Query.PayloadTerm("vector"), 10)
         .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
     }),
+    "ft_engine_payload_near" -> ((s, d) => {
+      // PayloadNearQuery, ordered, slop 0 — on this corpus (every position
+      // payload-carrying, <= 2 adjacent merge->hash pairs per doc) the
+      // shrink-to-shortest walk provably equals the adjacency-pair set, so
+      // an exact SQL oracle exists; the walk's divergent cases (shrink
+      // consumption, stale payloads, frontier repeats) are certified by
+      // PayloadNearSpec instead
+      val idx = indexDirPayload(s, d)
+      new graft.query.Searcher(s, idx)
+        .search(graft.query.Query.PayloadNear(Seq("merge", "hash"), 0,
+          inOrder = true), 10)
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"))
+    }),
     "ft_engine_payload_min" -> ((s, d) => {
       // Min fold, payloadScore only (includeSpanScore = false) — ties on the
       // 8 distinct payload values resolve by doc_id ascending

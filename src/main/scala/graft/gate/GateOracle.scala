@@ -405,6 +405,40 @@ object GateOracle {
       s"""$payprelude
          |SELECT doc_id, ${qz("CAST(CAST(minw AS REAL) AS DOUBLE)")} AS score_q
          |FROM pagg ORDER BY CAST(minw AS REAL) DESC, doc_id LIMIT 10""".stripMargin,
+    // PayloadNear ordered slop-0 over 'merge hash': the shrink walk equals
+    // the adjacency-pair set here (<= 2 pairs/doc, all positions carry
+    // payloads), freq = n * float32(1/3) (n = 1: trivial; n = 2: doubling a
+    // float is exact, same bits as the engine's 1/3f + 1/3f), payload Avg
+    // over the 2n matched positions' w — exact half sums. Weight: idf sums
+    // over BOTH clause terms (SpanWeight multi-term stats).
+    "ft_engine_payload_near" ->
+      s"""$payprelude, nocc AS (
+         |  SELECT a.doc_id, a.p AS pa, b.p AS pb
+         |  FROM ppos a JOIN ppos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE a.t = 'merge' AND b.t = 'hash'
+         |), nagg AS (
+         |  SELECT doc_id, count(*) AS n,
+         |    sum(CAST((doc_id + pa) % 8 + 1 AS DOUBLE) / 2
+         |        + CAST((doc_id + pb) % 8 + 1 AS DOUBLE) / 2) AS sumw
+         |  FROM nocc GROUP BY doc_id
+         |), nidf AS (
+         |  SELECT (CAST(ln(1.0 + (fs.n - dm.df + 0.5) / (dm.df + 0.5)) AS REAL)
+         |        + CAST(ln(1.0 + (fs.n - dh.df + 0.5) / (dh.df + 0.5)) AS REAL)) AS idf2
+         |  FROM (SELECT count(DISTINCT doc_id) AS df FROM ppos WHERE t = 'merge') dm
+         |  CROSS JOIN (SELECT count(DISTINCT doc_id) AS df FROM ppos WHERE t = 'hash') dh
+         |  CROSS JOIN pstats fs
+         |), tot AS (
+         |  SELECT a.doc_id,
+         |    (((i.idf2 * $k1p1)
+         |       * (CAST(a.n AS REAL) * (CAST(1.0e0 AS REAL) / CAST(3.0e0 AS REAL))))
+         |      / ((CAST(a.n AS REAL) * (CAST(1.0e0 AS REAL) / CAST(3.0e0 AS REAL)))
+         |         + $k1f * (CAST(0.25e0 AS REAL) + (CAST(0.75e0 AS REAL) * ntab.nt) / fs.avgdl)))
+         |    * (CAST(a.sumw AS REAL) / CAST(2 * a.n AS REAL)) AS s
+         |  FROM nagg a JOIN pnbt b USING (doc_id) JOIN ntab ON ntab.nb = b.nb
+         |  CROSS JOIN nidf i CROSS JOIN pstats fs
+         |)
+         |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q FROM tot
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "ft_q_prefix" -> topk("term LIKE 's%'"),
     "ft_q_prefix_wide" ->
       s"""$prelude

@@ -112,6 +112,31 @@ object Query {
                                includeSpanScore: Boolean = true,
                                boost: Float = 1.0f) extends Query
 
+  /** PayloadNearQuery (/root/reference/src/Lucene.Net/Search/Payloads/
+    * PayloadNearQuery.cs): a SpanNear over TERM clauses whose score is
+    *
+    *   spanScore    = BM25 with freq = SUM over the scorer's match stream of
+    *                  sloppyFreq(end - start) = 1f/(end - start + 1)
+    *                  (PayloadNearQuery.cs:289-297; BM25Similarity.cs:74-77).
+    *                  The match stream is the reference iterator's — ordered
+    *                  emits shrink-to-shortest matches, unordered the
+    *                  CellQueue frontier passes ([[PayloadSpans]]) — NOT the
+    *                  exhaustive span set.
+    *   payloadScore = func-fold of the payloads stored at the matched clause
+    *                  positions, in collection order; bare positions
+    *                  contribute nothing; zero payloads seen => 1
+    *                  (PayloadNearQuery.cs:228-276)
+    *   score        = spanScore * payloadScore (always both —
+    *                  PayloadNearQuery.cs:300-303)
+    *
+    * Weight: idf sums over all clause terms (SpanWeight's multi-term
+    * ComputeWeight), boost applied once. Requires payloads = true AND
+    * positions = true at build time.
+    */
+  final case class PayloadNear(terms: Seq[String], slop: Int, inOrder: Boolean,
+                               func: PayloadFunc = PayloadFunc.Avg,
+                               boost: Float = 1.0f) extends Query
+
   /** Payload fold (PayloadFunction.cs subclasses). */
   sealed trait PayloadFunc extends Serializable
   object PayloadFunc {

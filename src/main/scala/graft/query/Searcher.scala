@@ -97,7 +97,8 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   private def isNested(q: Query): Boolean = q match {
     case _: Query.BoolQ | _: Query.Bool | _: Query.Phrase |
          _: Query.MultiPhrase | _: Query.ConstantScore |
-         _: Query.DisMax | _: Query.MatchAll | _: Query.PayloadTerm => true
+         _: Query.DisMax | _: Query.MatchAll | _: Query.PayloadTerm |
+         _: Query.PayloadNear => true
     case _ => false
   }
 
@@ -122,6 +123,7 @@ final class Searcher(val spark: SparkSession, indexDir: String,
         .select(col("doc_id"), lit(boost).cast("float").as("score"))
     case dm: Query.DisMax => disMaxScoreAll(dm)
     case pt: Query.PayloadTerm => payloadScoreAll(pt)
+    case pn: Query.PayloadNear => payloadNearScoreAll(pn)
     case Query.ConstantScore(mt, boost) if Rewrite.isMultiTerm(mt) =>
       // constant-score FILTER rewrite (ConstantScoreAutoRewrite semantics):
       // the docset of every matching term, score = boost, never expanded
@@ -530,6 +532,119 @@ final class Searcher(val spark: SparkSession, indexDir: String,
               Bm25.score(tw.weightValue, freq, tw.cache, b.norm_bytes(i)) * docScore
             else docScore
           (docs(i), out)
+        }
+      }
+      .toDF("doc_id", "score")
+  }
+
+  /** PayloadNearQuery execution (see [[Query.PayloadNear]]): per clause term,
+    * one pruned scan of (positions + payloads); one doc-grouped shuffle; per
+    * doc, the reference scorer's match walk ([[PayloadSpans]]) accumulates
+    * freq and folds the matched payloads. Docs missing any clause term (or
+    * with freq 0) emit nothing — SpanScorer skips zero-freq docs.
+    */
+  private def payloadNearScoreAll(pn: Query.PayloadNear): DataFrame = {
+    import graft.codec.PosPayBlock
+    require(pn.terms.size >= 2, "PayloadNear needs >= 2 clause terms")
+    val dict = lookup(pn.terms.distinct)
+    // a clause term absent from the corpus can never match
+    if (pn.terms.exists(t => !dict.contains(t))) return emptyResult
+    var idfSum = 0.0f
+    pn.terms.foreach(t => idfSum += Bm25.idf(dict(t).df, stats.max_doc))
+    val weightValue = Bm25.weightValue(idfSum, pn.boost)
+    val cache = Bm25.buildCache(Bm25.avgFieldLength(stats.sum_ttf, stats.max_doc))
+    val bw = spark.sparkContext.broadcast((weightValue, cache))
+    // clause index per distinct term (a term may fill several clauses; each
+    // clause gets its own cursor over the same positions)
+    val clauseTids: Array[Long] = pn.terms.map(t => dict(t).term_id).toArray
+    val tidSet = clauseTids.toSet
+    val func = pn.func
+    val slop = pn.slop
+    val inOrder = pn.inOrder
+    postings
+      .filter(col("term_id").isin(tidSet.toSeq: _*))
+      .select(PosPayBlock.cols.map(col): _*)
+      .as[PosPayBlock]
+      .flatMap { b =>
+        require(b.cnt == 0 || b.pay_bytes.nonEmpty,
+          "payloads not indexed: rebuild with IndexBuilder.Options(payloads = true) " +
+            "to run payload queries")
+        val (docs, tfs, norms, poss) = PostingCodec.decodePos(
+          graft.codec.PosBlock(b.term_id, b.first_doc, b.cnt, b.doc_bytes,
+            b.tf_bytes, b.norm_bytes, b.pos_bytes))
+        val paySegs = PostingCodec.splitPaySegments(b.pay_bytes, tfs)
+        docs.indices.iterator.map { i =>
+          (docs(i), b.term_id, norms(i), poss(i),
+            PostingCodec.decodePayloads(paySegs(i), tfs(i)))
+        }
+      }
+      .toDF("doc_id", "term_id", "norm", "pos", "pays")
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term_id")
+      .as[(Long, Long, Byte, Array[Int], Array[Array[Byte]])]
+      .mapPartitions { it =>
+        val (wv, ch) = bw.value
+        val byTid = new scala.collection.mutable.HashMap[Long, (Array[Int], Array[Array[Byte]])]()
+        val b = it.buffered
+        new scala.collection.AbstractIterator[(Long, Float)] {
+          private var pending: (Long, Float) = _
+          private var done = false
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && b.hasNext) {
+              val doc = b.head._1
+              var nb: Byte = 0
+              byTid.clear()
+              while (b.hasNext && b.head._1 == doc) {
+                val (_, tid, n, ps, pl) = b.next()
+                nb = n
+                byTid.update(tid, (ps, pl))
+              }
+              if (clauseTids.forall(byTid.contains)) {
+                val cursors = clauseTids.map { tid =>
+                  val (ps, pl) = byTid(tid)
+                  new PayloadSpans.TermCursor(ps, pl)
+                }
+                val matches =
+                  if (inOrder) PayloadSpans.ordered(cursors, slop)
+                  else PayloadSpans.unordered(cursors, slop)
+                var freq = 0.0f
+                var payloadScore = 0.0f
+                var seen = 0
+                matches.foreach { m =>
+                  freq += 1.0f / (m.end - m.start + 1)
+                  m.payloads.foreach { p =>
+                    val factor =
+                      if (p.length == 4) {
+                        val bits = ((p(0) & 0xff) << 24) | ((p(1) & 0xff) << 16) |
+                          ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+                        java.lang.Float.intBitsToFloat(bits)
+                      } else 1.0f
+                    payloadScore = func match {
+                      case Query.PayloadFunc.Avg => payloadScore + factor
+                      case Query.PayloadFunc.Min =>
+                        if (seen == 0) factor else math.min(payloadScore, factor)
+                      case Query.PayloadFunc.Max =>
+                        if (seen == 0) factor else math.max(payloadScore, factor)
+                    }
+                    seen += 1
+                  }
+                }
+                if (freq > 0.0f) {
+                  val docScore = func match {
+                    case Query.PayloadFunc.Avg =>
+                      if (seen > 0) payloadScore / seen else 1.0f
+                    case _ => if (seen > 0) payloadScore else 1.0f
+                  }
+                  pending = (doc, Bm25.score(wv, freq, ch, nb) * docScore)
+                }
+              }
+            }
+            if (pending == null) done = true
+          }
+          advance()
+          override def hasNext: Boolean = !done
+          override def next(): (Long, Float) = { val h = pending; advance(); h }
         }
       }
       .toDF("doc_id", "score")
