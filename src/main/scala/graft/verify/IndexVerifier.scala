@@ -48,6 +48,16 @@ object IndexVerifier {
           i += 1
         }
       }
+      // payloads (when indexed): the stream must parse into exactly tf
+      // varint-length-prefixed entries per posting, consuming every byte
+      if (b.pay_bytes.nonEmpty) {
+        val segs = PostingCodec.splitPaySegments(b.pay_bytes, tfs)
+        var consumed = 0
+        i = 0
+        while (i < segs.length) { consumed += segs(i).length; i += 1 }
+        require(consumed == b.pay_bytes.length,
+          s"payload stream length mismatch in term ${b.term_id}")
+      }
       (b.term_id, b.cnt.toLong, tfs.map(_.toLong).sum, b.first_doc, b.last_doc)
     }.toDF("term_id", "cnt", "sum_tf", "first_doc", "last_doc")
 

@@ -104,6 +104,10 @@ class PayloadSpec extends AnyFunSuite {
       assert(engine(f, includeSpan = true) == expected(f, includeSpan = true), s"func=$f")
   }
 
+  test("CheckIndex invariants hold on a payload index") {
+    assert(graft.verify.IndexVerifier.verify(spark, dir).isEmpty)
+  }
+
   test("malformed payload suffix indexes the token verbatim") {
     val hits = new Searcher(spark, dir)
       .search(Query.Term("cat|xx"), 10).collect().map(_.getLong(0)).toSeq
