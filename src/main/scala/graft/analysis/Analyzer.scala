@@ -39,6 +39,20 @@ trait TextAnalyzer extends Serializable {
   /** Post-chain token stream; null = hole (position consumed, no term). */
   def tokens(text: String): mutable.ArrayBuffer[String]
 
+  /** Post-chain tokens plus source character spans, parallel to [[tokens]]:
+    * `starts(p)`/`ends(p)` bound position p's token in the ORIGINAL text
+    * (start inclusive, end exclusive; holes keep their tokenizer span).
+    * Offsets always point into the untouched input — token filters rewrite
+    * terms, never spans — the reference's OffsetAttribute contract
+    * (/root/reference/src/Lucene.Net/Analysis/TokenAttributes/OffsetAttribute.cs:26-42,
+    * and e.g. PorterStemFilter/StopFilter leaving offsets untouched). Chains
+    * whose tokenizer does not track offsets don't support term vectors with
+    * offsets and say so.
+    */
+  def tokenSpans(text: String): (mutable.ArrayBuffer[String], Array[Int], Array[Int]) =
+    throw new UnsupportedOperationException(
+      getClass.getSimpleName + " does not track character offsets")
+
   /** Per-term sorted position lists (tf = list length) plus emitted-token
     * count. A position is the raw token ordinal — holes still consume one,
     * exactly the accumulated position-increment bookkeeping of the
@@ -164,8 +178,10 @@ object Analyzer extends TextAnalyzer {
     * CJKBigramFilter.cs; goldens TestCJKAnalyzer.cs/TestCJKBigramFilter.cs).
     */
   private[analysis] def rawTokens(text: String,
-                                  cjkBigrams: Boolean = false): mutable.ArrayBuffer[String] = {
+                                  cjkBigrams: Boolean = false,
+                                  spans: mutable.ArrayBuffer[Int] = null): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String]()
+    @inline def span(a: Int, b: Int): Unit = if (spans != null) { spans += a; spans += b }
     val n = text.length
     var i = 0
     while (i < n) {
@@ -176,15 +192,19 @@ object Analyzer extends TextAnalyzer {
       } else if (cjkBigrams && isCjkClass(cls)) {
         // maximal CJK run -> overlapping bigrams (or a lone single)
         val run = new mutable.ArrayBuffer[Int]()
+        val offs = new mutable.ArrayBuffer[Int]() // char offset at each run cp
         var j = i
         while (j < n && { val c = text.codePointAt(j); isCjkClass(charClass(c)) }) {
           run += text.codePointAt(j)
+          offs += j
           j += Character.charCount(text.codePointAt(j))
         }
+        offs += j
         if (run.length == 1) {
           val sb = new java.lang.StringBuilder()
           sb.appendCodePoint(run(0))
           out += sb.toString
+          span(offs(0), offs(1))
         } else {
           var r = 0
           while (r < run.length - 1) {
@@ -192,6 +212,7 @@ object Analyzer extends TextAnalyzer {
             sb.appendCodePoint(run(r))
             sb.appendCodePoint(run(r + 1))
             out += sb.toString
+            span(offs(r), offs(r + 2))
             r += 1
           }
         }
@@ -201,6 +222,7 @@ object Analyzer extends TextAnalyzer {
         val sb = new java.lang.StringBuilder()
         sb.appendCodePoint(cp)
         out += sb.toString
+        span(i, i + Character.charCount(cp))
         i += Character.charCount(cp)
       } else {
         val sb = new java.lang.StringBuilder()
@@ -224,6 +246,7 @@ object Analyzer extends TextAnalyzer {
           }
         }
         out += (if (sb.length() > MaxTokenLength) null else sb.toString)
+        span(i, j)
         i = j
       }
     }
@@ -240,6 +263,28 @@ object Analyzer extends TextAnalyzer {
     }
     raw
   }
+
+  /** Shared spans helper for chains built on the standard tokenizer: run the
+    * tokenizer once with span recording, then apply `filter` per slot (null
+    * result = hole; spans stay tokenizer-true).
+    */
+  private[analysis] def chainSpans(text: String)(filter: String => String)
+      : (mutable.ArrayBuffer[String], Array[Int], Array[Int]) = {
+    val sp = new mutable.ArrayBuffer[Int]()
+    val raw = rawTokens(text, spans = sp)
+    val starts = new Array[Int](raw.length)
+    val ends = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      starts(i) = sp(2 * i); ends(i) = sp(2 * i + 1)
+      if (raw(i) != null) raw(i) = filter(raw(i))
+      i += 1
+    }
+    (raw, starts, ends)
+  }
+
+  override def tokenSpans(text: String): (mutable.ArrayBuffer[String], Array[Int], Array[Int]) =
+    chainSpans(text)(t => if (Stopwords.contains(t)) null else t)
 }
 
 /** CJKAnalyzer-equivalent chain: the standard tokenizer with CJK character
@@ -257,6 +302,23 @@ object CJKAnalyzer extends TextAnalyzer {
       i += 1
     }
     raw
+  }
+
+  /** Bigram spans cover BOTH source characters (reference CJKBigramFilter
+    * sets the composed token's offsets to first char start / second char end).
+    */
+  override def tokenSpans(text: String): (mutable.ArrayBuffer[String], Array[Int], Array[Int]) = {
+    val sp = new mutable.ArrayBuffer[Int]()
+    val raw = Analyzer.rawTokens(text, cjkBigrams = true, spans = sp)
+    val starts = new Array[Int](raw.length)
+    val ends = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      starts(i) = sp(2 * i); ends(i) = sp(2 * i + 1)
+      if (raw(i) != null && Analyzer.Stopwords.contains(raw(i))) raw(i) = null
+      i += 1
+    }
+    (raw, starts, ends)
   }
 }
 
@@ -323,4 +385,13 @@ object EnglishAnalyzer extends TextAnalyzer {
     }
     raw
   }
+
+  /** Spans cover the ORIGINAL surface form (incl. a stripped possessive) —
+    * stemming rewrites the term only.
+    */
+  override def tokenSpans(text: String): (mutable.ArrayBuffer[String], Array[Int], Array[Int]) =
+    Analyzer.chainSpans(text) { t0 =>
+      val t1 = if (t0.endsWith("'s")) t0.dropRight(2) else t0
+      if (Analyzer.Stopwords.contains(t1)) null else PorterStemmer.stem(t1)
+    }
 }

@@ -1,7 +1,7 @@
 package graft.gate
 
 import graft.analysis.Analyzer
-import graft.build.IndexBuilder
+import graft.build.{IndexBuilder, TermVectors}
 import graft.codec.{PosBlock, PostingCodec, ScoreBlock}
 import graft.model.{CollectionStats, TermDictRow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -79,6 +79,19 @@ object Gate {
       IndexBuilder.build(docs, dir,
         IndexBuilder.Options(analyzer = graft.analysis.WhitespaceAnalyzer,
           payloads = true))
+      dir
+    })
+
+  /** Term-vectors sidecar over the corpus (standard chain; built once per
+    * JVM per sfDir — the build is one analysis pass + one range exchange).
+    */
+  def termVectorsDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#tv", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-tv-$name"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      TermVectors.build(spark, docs, dir)
       dir
     })
 
@@ -560,6 +573,34 @@ object Gate {
           (id, (p + 1).toLong, snippet)
         }
         .toDF("doc_id", "pos", "snippet")
+        .orderBy("doc_id")
+    }),
+    "ft_term_vector" -> ((s, d) => {
+      // Term vectors (doc-major per-doc mini inverted index, reference
+      // TermVectorsWriter with positions + offsets): three docs' vectors —
+      // per term: tf, first raw-ordinal position, first character span.
+      val tv = termVectorsDir(s, d)
+      TermVectors.fetch(s, tv, Seq(0L, 1L, 2L))
+        .select(col("doc_id"), col("term"), col("tf").cast("long"),
+          col("positions").getItem(0).cast("long").as("first_pos"),
+          col("starts").getItem(0).cast("long").as("first_start"),
+          col("ends").getItem(0).cast("long").as("first_end"))
+        .orderBy("doc_id", "term")
+    }),
+    "ft_highlight_offsets" -> ((s, d) => {
+      // PostingsHighlighter over STORED OFFSETS (reference
+      // ICUPostingsHighlighter-era offsets use, FieldType.StoreTermVectorOffsets):
+      // top-5 docs for 'vector'; the snippet is sliced from the stored text
+      // by the vector's first-occurrence character span — no re-analysis.
+      val top = topkSum(s, d, Seq("vector"), 5).select("doc_id")
+      val tv = s.read.parquet(termVectorsDir(s, d))
+        .filter(col("term") === lit("vector"))
+        .select(col("doc_id"), col("starts").getItem(0).cast("long").as("start_off"),
+          col("ends").getItem(0).cast("long").as("end_off"))
+      top.join(tv, "doc_id")
+        .join(docsTable(s, d).select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("start_off"), col("end_off"),
+          expr("substring(text, cast(start_off + 1 as int), 25)").as("snippet"))
         .orderBy("doc_id")
     }),
     // --- training-data pipeline ops ---------------------------------------

@@ -152,6 +152,20 @@ object GateOracle {
   private def inList(terms: String*): String =
     terms.map(t => s"'$t'").mkString("term IN (", ", ", ")")
 
+  /** Raw token ordinals with CHARACTER start offsets: the corpus text is
+    * single-space-joined tokens, so token p starts at the sum of all prior
+    * token lengths plus one separator each — mirrors the engine tokenizer's
+    * span tracking exactly on this corpus.
+    */
+  private val tposSql: String =
+    """
+      |  SELECT doc_id, t, p,
+      |    CAST(coalesce(sum(length(t) + 1) OVER (
+      |      PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM pos
+      |""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ft_termdict" ->
       s"$prelude SELECT term, df, ttf FROM dfs ORDER BY term",
@@ -625,6 +639,34 @@ object GateOracle {
          |       array_to_string(l[f.pos:f.pos + 3], ' ') AS snippet
          |FROM firstpos f JOIN splits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "ft_term_vector" ->
+      s"""$prelude, tpos AS ($tposSql)
+         |SELECT doc_id, t AS term, count(*) AS tf,
+         |  CAST(min(p) - 1 AS BIGINT) AS first_pos,
+         |  min_by(start_off, p) AS first_start,
+         |  CAST(min_by(start_off, p) + length(t) AS BIGINT) AS first_end
+         |FROM tpos
+         |WHERE doc_id IN (0, 1, 2)
+         |  AND t <> '' AND length(t) <= 255 AND t NOT IN ($stop)
+         |GROUP BY doc_id, t
+         |ORDER BY doc_id, term""".stripMargin,
+    "ft_highlight_offsets" ->
+      s"""$prelude, tpos AS ($tposSql), top AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'vector' GROUP BY doc_id
+         |  ORDER BY score_q DESC, doc_id LIMIT 5
+         |), first AS (
+         |  SELECT doc_id, min(p) AS p FROM tpos
+         |  WHERE t = 'vector' GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, o.start_off,
+         |  CAST(o.start_off + length(o.t) AS BIGINT) AS end_off,
+         |  substr(d.text, CAST(o.start_off + 1 AS INT), 25) AS snippet
+         |FROM top t
+         |JOIN first f USING (doc_id)
+         |JOIN tpos o ON o.doc_id = t.doc_id AND o.p = f.p
+         |JOIN documents d ON d.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT c AS cnt, count(*) AS groups FROM (
         |  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY h
