@@ -611,7 +611,49 @@ object Gate {
         .groupBy("c").agg(count(lit(1)).as("groups"))
         .orderBy("c")
         .withColumnRenamed("c", "cnt")),
+    "sample_stratified" -> ((s, d) => {
+      // Deterministic hash-threshold STRATIFIED sampling (reproducible
+      // training-data downsampling, no RNG state): keep a doc iff the first
+      // 4 hex chars of md5("s1|" + doc_id) fall below the stratum's
+      // threshold — en 25% (< '4000'), fr 50% (< '8000'), other langs 100%.
+      // Identical at any parallelism or cluster size, stable under re-runs
+      // and incremental appends; all codegen'd built-ins, one shuffle.
+      val key = md5(concat(lit("s1|"), col("doc_id").cast("string")).cast("binary"))
+      val thr = when(col("lang") === "en", lit("4000"))
+        .when(col("lang") === "fr", lit("8000")).otherwise(lit("g"))
+      val keep = substring(key, 1, 4) < thr
+      docsTable(s, d).select(col("doc_id"), col("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(keep, 1).otherwise(0)).as("sampled"),
+          sum(when(keep, col("doc_id")).otherwise(0L)).as("id_checksum"))
+        .orderBy("lang")
+    }),
+    "text_soundex" -> ((s, d) => {
+      // Phonetic key clustering over the term dictionary: top soundex
+      // buckets by distinct-term count (reference phonetic module,
+      // Soundex.cs US_ENGLISH + PhoneticFilter). TokenFilters.soundex (the
+      // commons-codec H-W-rule variant the reference wraps) over the
+      // dictionary-sized termdict, not the corpus — the big table never
+      // re-tokenizes.
+      import s.implicits._
+      val idx = indexDir(s, d)
+      termdict(s, idx).select(col("term"), col("df").cast("long")).as[(String, Long)]
+        .map { case (t, df) => (graft.analysis.TokenFilters.soundex(t), df) }
+        .toDF("key", "df")
+        .filter(col("key") =!= "")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_terms"), sum("df").as("sum_df"))
+        .orderBy(desc("n_terms"), desc("sum_df"), asc("key"))
+        .limit(10)
+    }),
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+    "dedup_groups" -> ((s, d) =>
+      // pairwise matches -> transitive duplicate GROUPS (connected
+      // components over the MinHash-verified pair list; see
+      // operators.ConnectedComponents for the scale argument)
+      graft.operators.ConnectedComponents.groups(
+        minhashPairs(s, d).select("d1", "d2"))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d, 5)),

@@ -152,6 +152,42 @@ object GateOracle {
   private def inList(terms: String*): String =
     terms.map(t => s"'$t'").mkString("term IN (", ", ", ")")
 
+  /** Shared MinHash-LSH candidate chain (8 hashes, 2/band, exact-Jaccard
+    * intersections): ends with CTEs `inter` (d1, d2, i) and `sizes`
+    * (doc_id, sz). `recursive` prefixes WITH RECURSIVE for consumers that
+    * append a recursive closure (dedup_groups).
+    */
+  private def mhChain(recursive: Boolean): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}splits AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), pos AS (
+       |  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS p FROM splits
+       |), sh AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+       |  FROM pos a
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+       |), mh AS (
+       |  SELECT doc_id, r.k AS k, min(md5(CAST(r.k AS VARCHAR) || '|' || s)) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS k) r
+       |  GROUP BY doc_id, r.k
+       |), bands AS (
+       |  SELECT doc_id, k // 2 AS band, string_agg(h, '' ORDER BY k) AS bv
+       |  FROM mh GROUP BY doc_id, k // 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.d1
+       |  JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+       |  GROUP BY c.d1, c.d2
+       |)""".stripMargin
+
   /** Raw token ordinals with CHARACTER start offsets: the corpus text is
     * single-space-joined tokens, so token p starts at the sum of all prior
     * token lengths plus one separator each — mirrors the engine tokenizer's
@@ -672,41 +708,61 @@ object GateOracle {
         |  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY h
         |) GROUP BY c ORDER BY c""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH splits AS (
-         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-         |), pos AS (
-         |  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS p FROM splits
-         |), sh AS (
-         |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
-         |  FROM pos a
-         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
-         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
-         |), mh AS (
-         |  SELECT doc_id, r.k AS k, min(md5(CAST(r.k AS VARCHAR) || '|' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS k) r
-         |  GROUP BY doc_id, r.k
-         |), bands AS (
-         |  SELECT doc_id, k // 2 AS band, string_agg(h, '' ORDER BY k) AS bv
-         |  FROM mh GROUP BY doc_id, k // 2
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.d1
-         |  JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
-         |  GROUP BY c.d1, c.d2
-         |)
+      s"""${mhChain(recursive = false)}
          |SELECT d1, d2, ${qz("CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)")} AS jaccard_q
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = d1
          |JOIN sizes sb ON sb.doc_id = d2
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+        |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      (CASE WHEN lang = 'en' THEN '4000'
+        |            WHEN lang = 'fr' THEN '8000' ELSE 'g' END) AS keep
+        |  FROM documents
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_soundex" ->
+      s"""$prelude, sdx AS (
+         |  SELECT term, df, CASE WHEN u = '' THEN '' ELSE
+         |      substr(substr(u, 1, 1) || replace(substr(cl, 2), '0', '') || '000', 1, 4)
+         |    END AS key
+         |  FROM (
+         |    SELECT term, df, u,
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(
+         |        translate(substr(u, 1, 1) || translate(substr(u, 2), 'HW', ''),
+         |          'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202'),
+         |        '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+         |        '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g') AS cl
+         |    FROM (SELECT term, df, regexp_replace(upper(term), '[^A-Z]', '', 'g') AS u
+         |          FROM dfs)
+         |  )
+         |)
+         |SELECT key, count(*) AS n_terms, CAST(sum(df) AS BIGINT) AS sum_df
+         |FROM sdx WHERE key <> ''
+         |GROUP BY key ORDER BY n_terms DESC, sum_df DESC, key LIMIT 10""".stripMargin,
+    "dedup_groups" ->
+      s"""${mhChain(recursive = true)}, pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+         |), sym AS (
+         |  SELECT d1 AS v1, d2 AS v2 FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs
+         |), reach AS (
+         |  SELECT v1 AS v, v1 AS r FROM sym
+         |  UNION
+         |  SELECT s.v2 AS v, reach.r FROM reach JOIN sym s ON s.v1 = reach.v
+         |)
+         |SELECT root, count(*) AS size FROM (
+         |  SELECT v, min(r) AS root FROM reach GROUP BY v
+         |) GROUP BY root ORDER BY root""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$prelude, sh AS (
          |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s

@@ -1,0 +1,37 @@
+package graft
+
+import graft.analysis.TokenFilters
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Soundex golden vectors from the commons-codec/reference documentation
+  * (Soundex.cs wraps the same US_ENGLISH mapping; the H-W merge rule and
+  * vowel reset are the differentiators vs naive soundex).
+  */
+class PhoneticSpec extends AnyFunSuite {
+
+  test("soundex golden vectors incl. H-W rule and vowel reset") {
+    val golden = Map(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // H-W rule
+      "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "Hanna" -> "H500",
+      "Washington" -> "W252", "Lee" -> "L000",
+      "Gutierrez" -> "G362", "Jackson" -> "J250", "Williams" -> "W452",
+      "o'brien" -> "O165", // non-letters transparent
+      "a" -> "A000", "w" -> "W000")
+    golden.foreach { case (in, want) =>
+      assert(TokenFilters.soundex(in) == want, s"soundex($in)")
+      assert(TokenFilters.soundex(in.toLowerCase) == want, s"soundex(lower $in)")
+    }
+    assert(TokenFilters.soundex("3.14") == "")
+    assert(TokenFilters.soundex("") == "")
+  }
+
+  test("phonetic filter: inject vs replace") {
+    val terms = Array("robert", "3.14")
+    assert(TokenFilters.phonetic(terms, inject = true).toSeq ==
+      Seq("robert", "R163", "3.14"))
+    assert(TokenFilters.phonetic(terms, inject = false).toSeq ==
+      Seq("R163", "3.14"))
+  }
+}
