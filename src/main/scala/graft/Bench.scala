@@ -115,9 +115,20 @@ object Bench {
     buildAt("local[4]", 16, numConvs / 15, positions = true)
     val t4s = scala.collection.mutable.ArrayBuffer[Double]()
     val t1s = scala.collection.mutable.ArrayBuffer[Double]()
+    // Pairs ALTERNATE order — (T4,T1) then (T1,T4) — so a monotone host-load
+    // drift across the run biases the two sides symmetrically instead of
+    // always hitting the same side of the ratio; adjacent samples still
+    // share a noise window for the per-pair estimator.
+    var flip = false
     def runPair(): Unit = {
-      t4s += buildAt("local[4]", 16, numConvs, positions = false)
-      t1s += buildAt("local[1]", 4, numConvs, positions = false)
+      if (flip) {
+        t1s += buildAt("local[1]", 4, numConvs, positions = false)
+        t4s += buildAt("local[4]", 16, numConvs, positions = false)
+      } else {
+        t4s += buildAt("local[4]", 16, numConvs, positions = false)
+        t1s += buildAt("local[1]", 4, numConvs, positions = false)
+      }
+      flip = !flip
     }
     runPair()
     runPair()

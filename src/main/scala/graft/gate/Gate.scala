@@ -611,6 +611,31 @@ object Gate {
         .groupBy("c").agg(count(lit(1)).as("groups"))
         .orderBy("c")
         .withColumnRenamed("c", "cnt")),
+    "sim_int8_topk" -> ((s, d) => int8TopK(s, d, 10)),
+    "pack_sequences" -> ((s, d) => {
+      // Concat-and-chunk SEQUENCE PACKING (the standard LLM-pretraining
+      // batching step): documents stream concatenated in stable doc_id
+      // order WITHIN each source shard; a context-window boundary falls
+      // every 2048 tokens and a doc belongs to the bin its first token
+      // lands in. Packing per shard keeps each window sort bounded to one
+      // shard at 100 TB (source x doc-range in production) instead of a
+      // global total order. Output: per-source bin stats + a bin-assignment
+      // checksum.
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = docsTable(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("bin",
+          floor(coalesce(sum("tok").over(w), lit(0L)) / lit(2048)).cast("long"))
+      binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("bins"), max("docs").as("max_docs"),
+          sum("toks").as("total_toks"),
+          sum(col("bin") * col("docs")).as("checksum"))
+        .orderBy("source")
+    }),
     "sample_stratified" -> ((s, d) => {
       // Deterministic hash-threshold STRATIFIED sampling (reproducible
       // training-data downsampling, no RNG state): keep a doc iff the first
@@ -1579,6 +1604,62 @@ object Gate {
       (id, dot / (math.sqrt(ne) * nq))
     }.toDF("vec_id", "cos")
       .select(col("vec_id"), q(col("cos")).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Int8 SCALAR QUANTIZATION of the embedding store + integer-dot top-k:
+    * per-vector symmetric codes q_i = floor(x_i * 127 / max|x| + 0.5) — 4x
+    * smaller storage and SIMD-able integer dot products, the standard
+    * compressed serving layout for a 100 TB embedding store. The per-vector
+    * scales CANCEL in cosine, so ranking needs only the integer codes:
+    * cos~ = qdot / (|q_e| * |q_q|). Half-up rounding is spelled
+    * floor(x + 0.5) on both sides because DuckDB's round() is
+    * half-away-from-zero while the JVM's is half-up — the one spelling that
+    * is bit-identical everywhere. All-zero vectors carry no direction and
+    * are excluded symmetrically.
+    */
+  def int8TopK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    def quant(e: Array[Float]): Array[Long] = {
+      var m = 0.0; var j = 0
+      while (j < e.length) { val a = math.abs(e(j).toDouble); if (a > m) m = a; j += 1 }
+      if (m == 0.0) null
+      else {
+        val out = new Array[Long](e.length)
+        j = 0
+        while (j < e.length) {
+          out(j) = math.floor(e(j).toDouble * 127.0 / m + 0.5).toLong
+          j += 1
+        }
+        out
+      }
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val qq: Array[Long] = quant(emb.filter(_._1 == 0L).head()._2)
+    val bq = spark.sparkContext.broadcast(qq)
+    val nq = {
+      var acc = 0.0; var i = 0
+      while (i < qq.length) { acc += qq(i).toDouble * qq(i); i += 1 }
+      math.sqrt(acc)
+    }
+    emb.flatMap { case (id, e) =>
+      val qe = quant(e)
+      if (qe == null) None
+      else {
+        val v = bq.value
+        var dot = 0L; var ne = 0.0; var i = 0
+        while (i < qe.length) {
+          dot += qe(i) * v(i)
+          ne += qe(i).toDouble * qe(i)
+          i += 1
+        }
+        Some((id, dot, dot.toDouble / (math.sqrt(ne) * nq)))
+      }
+    }.toDF("vec_id", "idot", "cos")
+      .select(col("vec_id"), col("idot"), q(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), asc("vec_id"))
       .limit(k)
   }

@@ -715,6 +715,44 @@ object GateOracle {
          |JOIN sizes sb ON sb.doc_id = d2
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "sim_int8_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), m AS (
+         |  SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS mx FROM e
+         |), qv AS (
+         |  SELECT vec_id,
+         |    list_transform(ev, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qe
+         |  FROM m WHERE mx > 0
+         |), qq AS (
+         |  SELECT qe AS q0 FROM qv WHERE vec_id = 0
+         |), d AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * q0[i])) AS dot,
+         |    sqrt(list_sum(list_transform(qe, x -> CAST(x * x AS DOUBLE)))) AS ne,
+         |    sqrt((SELECT list_sum(list_transform(q0, x -> CAST(x * x AS DOUBLE))) FROM qq)) AS nq
+         |  FROM qv CROSS JOIN qq
+         |)
+         |SELECT vec_id, CAST(dot AS BIGINT) AS idot,
+         |  ${qz("CAST(dot AS DOUBLE) / (ne * nq)")} AS cos_q
+         |FROM d ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS tok FROM documents
+        |), b AS (
+        |  SELECT source, doc_id, tok,
+        |    coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin
+        |  FROM t
+        |), g AS (
+        |  SELECT source, bin, count(*) AS docs, CAST(sum(tok) AS BIGINT) AS toks
+        |  FROM b GROUP BY source, bin
+        |)
+        |SELECT source, count(*) AS bins, CAST(max(docs) AS BIGINT) AS max_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(bin * docs) AS BIGINT) AS checksum
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, count(*) AS total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
