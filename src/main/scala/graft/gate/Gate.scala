@@ -612,6 +612,7 @@ object Gate {
         .orderBy("c")
         .withColumnRenamed("c", "cnt")),
     "sim_int8_topk" -> ((s, d) => int8TopK(s, d, 10)),
+    "ann_pq" -> ((s, d) => annPq(s, d, 10)),
     "pack_sequences" -> ((s, d) => {
       // Concat-and-chunk SEQUENCE PACKING (the standard LLM-pretraining
       // batching step): documents stream concatenated in stable doc_id
@@ -1661,6 +1662,77 @@ object Gate {
     }.toDF("vec_id", "idot", "cos")
       .select(col("vec_id"), col("idot"), q(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Product-quantization ANN (Jegou, Douze, Schmid, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011): vectors split into
+    * m=8 subspaces of 8 dims, each encoded as its nearest sub-codebook
+    * centroid id (ks=16 -> 4 bits/subspace: 32 bits/vector vs 256 bytes,
+    * 64x). Queries score by Asymmetric Distance Computation: ONE m x ks
+    * table of exact query-to-centroid sub-distances, approx distance = sum
+    * of m table lookups. Per-subspace distances are quantized to integers
+    * BEFORE the final sum so the total is addition-order-free (exact parity
+    * with the SQL oracle regardless of fold order). Codebooks are
+    * DETERMINISTIC — the subvectors of vec ids 1..ks, the ann_ivf centroid
+    * convention — so the oracle mirrors encode+ADC bit-for-bit; production
+    * swaps k-means codebooks behind the same encode/score shape.
+    *
+    * 100 TB: codes are 4 bytes/vector, the codebook is broadcast-sized,
+    * encode is one pass over the store, ADC scans only codes (a 64x
+    * smaller scan than raw floats); compose with IVF partition pruning
+    * (ann_ivf) for sublinear candidate sets.
+    */
+  def annPq(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val m = 8; val ks = 16
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val small = emb.filter(_._1 <= ks.toLong).collect().sortBy(_._1)
+    val dim = small.head._2.length
+    val sub = dim / m
+    val query: Array[Double] = small.find(_._1 == 0L).get._2.map(_.toDouble)
+    // centroids(j)(c): subvector j of vec id c+1
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      Array.tabulate(ks) { c =>
+        small.find(_._1 == (c + 1).toLong).get._2
+          .slice(j * sub, (j + 1) * sub).map(_.toDouble)
+      }
+    }
+    def d2(a: Array[Double], boff: Int, b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { val t = a(boff + i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // ADC table, integer-quantized per entry (order-free final sums)
+    val dq: Array[Array[Long]] = Array.tabulate(m) { j =>
+      Array.tabulate(ks) { c =>
+        math.floor(d2(query, j * sub, cents(j)(c)) * 1000.0 + 0.5).toLong
+      }
+    }
+    val bc = spark.sparkContext.broadcast((cents, dq))
+    emb.map { case (id, e) =>
+      val (cs, t) = bc.value
+      val ev = new Array[Double](e.length)
+      var i = 0
+      while (i < e.length) { ev(i) = e(i).toDouble; i += 1 }
+      var adist = 0L
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          val d = d2(ev, j * sub, cs(j)(c))
+          if (d < bestD) { bestD = d; best = c } // ties keep the lowest c
+          c += 1
+        }
+        adist += t(j)(best)
+        j += 1
+      }
+      (id, adist)
+    }.toDF("vec_id", "adist_q")
+      .orderBy(asc("adist_q"), asc("vec_id"))
       .limit(k)
   }
 

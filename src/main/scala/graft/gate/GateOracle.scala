@@ -737,6 +737,35 @@ object GateOracle {
          |SELECT vec_id, CAST(dot AS BIGINT) AS idot,
          |  ${qz("CAST(dot AS DOUBLE) / (ne * nq)")} AS cos_q
          |FROM d ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, j, list_slice(ev, j * 8 + 1, j * 8 + 8) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+        |), cent AS (
+        |  SELECT CAST(vec_id - 1 AS INT) AS c, j, sv AS cv
+        |  FROM sub WHERE vec_id BETWEEN 1 AND 16
+        |), dists AS (
+        |  SELECT s.vec_id, s.j, c.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+        |  FROM sub s JOIN cent c ON c.j = s.j
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |    FROM dists
+        |  ) WHERE rn = 1
+        |), qt AS (
+        |  SELECT j, c, CAST(floor(d2 * 1000.0 + 0.5) AS BIGINT) AS qd
+        |  FROM dists WHERE vec_id = 0
+        |)
+        |SELECT codes.vec_id, CAST(sum(qt.qd) AS BIGINT) AS adist_q
+        |FROM codes JOIN qt ON qt.j = codes.j AND qt.c = codes.c
+        |GROUP BY codes.vec_id
+        |ORDER BY adist_q, vec_id LIMIT 10""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS tok FROM documents

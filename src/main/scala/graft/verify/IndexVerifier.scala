@@ -110,4 +110,36 @@ object IndexVerifier {
     termdict.unpersist()
     errs.toSeq
   }
+
+  /** Cross-check a term-vectors sidecar (build.TermVectors) against the
+    * inverted index built over the SAME docs with the SAME analyzer: the two
+    * are transposes, so per-term df/ttf must agree exactly, and every
+    * vector row must be internally consistent (tf = positions length,
+    * strictly increasing positions, aligned well-formed spans) — the
+    * vectors half of CheckIndex (reference CheckIndex.cs TestTermVectors
+    * mode cross-validates vectors against postings the same way).
+    */
+  def verifyTermVectors(spark: SparkSession, indexDir: String,
+                        vectorsDir: String): Seq[String] = {
+    import spark.implicits._
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    val tv = spark.read.parquet(vectorsDir)
+    val badRows = tv.as[(Long, String, Int, Array[Int], Array[Int], Array[Int])]
+      .filter { case (_, _, tf, ps, ss, es) =>
+        tf != ps.length || ss.length != tf || es.length != tf ||
+          ps.indices.drop(1).exists(i => ps(i) <= ps(i - 1)) ||
+          ps.indices.exists(i => ss(i) < 0 || es(i) <= ss(i))
+      }.count()
+    if (badRows > 0) errs += s"$badRows malformed term-vector rows"
+    val perTerm = tv.groupBy("term")
+      .agg(count(lit(1)).as("vdf"), sum("tf").as("vttf"))
+    val dict = spark.read.parquet(s"$indexDir/termdict")
+      .select(col("term"), col("df").cast("long"), col("ttf").cast("long"))
+    val mismatch = perTerm.join(dict, Seq("term"), "full_outer")
+      .filter(col("vdf").isNull || col("df").isNull ||
+        col("vdf") =!= col("df") || col("vttf") =!= col("ttf"))
+      .count()
+    if (mismatch > 0) errs += s"$mismatch terms disagree between vectors and termdict"
+    errs.toSeq
+  }
 }

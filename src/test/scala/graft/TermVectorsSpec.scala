@@ -88,6 +88,24 @@ class TermVectorsSpec extends AnyFunSuite {
       (1L, "gamma", 1, Seq(0))))
   }
 
+  test("vectors cross-check against the inverted index (CheckIndex half)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "gamma the alpha"),
+      (2L, "delta beta")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("tvx").toString
+    graft.build.IndexBuilder.build(docs, s"$base/idx")
+    TermVectors.build(spark, docs, s"$base/tv")
+    assert(graft.verify.IndexVerifier.verifyTermVectors(spark, s"$base/idx", s"$base/tv").isEmpty)
+    // corrupt: drop one vector row -> df/ttf cross-check must fire
+    import org.apache.spark.sql.functions.col
+    val tv = spark.read.parquet(s"$base/tv")
+    tv.filter(!(col("doc_id") === 0L && col("term") === "alpha"))
+      .write.mode("overwrite").parquet(s"$base/tv2")
+    assert(graft.verify.IndexVerifier.verifyTermVectors(spark, s"$base/idx", s"$base/tv2").nonEmpty)
+  }
+
   test("chains without offset tracking say so") {
     intercept[UnsupportedOperationException] {
       graft.analysis.WhitespaceAnalyzer.tokenSpans("a b")
