@@ -87,6 +87,14 @@ object IndexBuilder {
       // standard chain would split at the '|'. Off by default: the payload
       // branch never executes on the ingest hot path.
       payloads: Boolean = false,
+      // Per-position CHARACTER OFFSETS — the 4th IndexOptions rung
+      // (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS, reference
+      // FieldInfo.cs:315-355): each occurrence stores (startChar, endChar)
+      // into the ORIGINAL text, enabling offsets-driven highlighting with
+      // no re-analysis. Requires positions = true and an analyzer that
+      // tracks spans (TextAnalyzer.tokenSpans). Own pruned Parquet column;
+      // off by default — the branch never executes on the ingest hot path.
+      offsets: Boolean = false,
       // Split size for re-reading the `runs` table in S2-S4. Runs rows are
       // blob-dense, so the 128 MB default yields a handful of fat splits and
       // every single-pass downstream stage (norms/termdict/docmap decode, the
@@ -259,9 +267,12 @@ object IndexBuilder {
     val manifest = new ManifestStore(outDir, spark)
     if (opts.overwrite) manifest.reset()
     val p = partitions(spark, opts)
+    require(!opts.offsets || opts.positions,
+      "offsets require positions (the reference's IndexOptions ladder)")
     val bAn2 = spark.sparkContext.broadcast(opts.analyzer)
     val bPos2 = spark.sparkContext.broadcast(opts.positions)
     val bPay2 = spark.sparkContext.broadcast(opts.payloads)
+    val bOff2 = spark.sparkContext.broadcast(opts.offsets)
 
     // ---- S1: per-partition posting runs (DWPT analog); ids already global
     if (!manifest.isDone("runs")) {
@@ -271,7 +282,7 @@ object IndexBuilder {
         .repartitionByRange(p, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, String)]
-        .mapPartitions(buildRuns(-1, _, bAn2.value, bPos2.value, bPay2.value))
+        .mapPartitions(buildRuns(-1, _, bAn2.value, bPos2.value, bPay2.value, bOff2.value))
       runs.write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
     }
@@ -389,14 +400,20 @@ object IndexBuilder {
       term_id: Long, first_doc: Long, last_doc: Long, cnt: Int, sum_tf: Long,
       max_tf: Int, max_nb: Int, doc_bytes: Array[Byte], tf_bytes: Array[Byte],
       norm_bytes: Array[Byte], pos_bytes: Array[Byte],
-      pay_bytes: Array[Byte] = Array.emptyByteArray)
+      pay_bytes: Array[Byte] = Array.emptyByteArray,
+      off_bytes: Array[Byte] = Array.emptyByteArray)
 
-  /** Back-compat shim: runs tables written before the payloads column
-    * existed read as payload-less (encoders need every field present).
+  /** Back-compat shim: runs tables written before the payloads/offsets
+    * columns existed read as payload-/offset-less (encoders need every
+    * field present).
     */
-  private def ensurePay(df: DataFrame): DataFrame =
-    if (df.columns.contains("pay_bytes")) df
-    else df.withColumn("pay_bytes", lit(Array.emptyByteArray))
+  private def ensurePay(df: DataFrame): DataFrame = {
+    val withPay =
+      if (df.columns.contains("pay_bytes")) df
+      else df.withColumn("pay_bytes", lit(Array.emptyByteArray))
+    if (withPay.columns.contains("off_bytes")) withPay
+    else withPay.withColumn("off_bytes", lit(Array.emptyByteArray))
+  }
 
   private def partitions(spark: SparkSession, opts: Options): Int =
     if (opts.numPartitions > 0) opts.numPartitions
@@ -413,7 +430,8 @@ object IndexBuilder {
   private[graft] def buildRuns(pid: Int, it: Iterator[(Long, String)],
                                analyzer: TextAnalyzer = Analyzer,
                                positions: Boolean = true,
-                               payloads: Boolean = false): Iterator[Run] = {
+                               payloads: Boolean = false,
+                               offsets: Boolean = false): Iterator[Run] = {
     // Per-term growable PRIMITIVE postings buffers. The per-token path
     // allocates nothing beyond the token strings themselves: no per-doc
     // tf/positions map, no boxed appends (an earlier boxed-ArrayBuffer
@@ -432,6 +450,9 @@ object IndexBuilder {
       var lastDoc = -1L
       var pos: Array[Int] = if (positions) new Array[Int](8) else null
       var posN = 0
+      // flat (start, end) pairs, parallel to pos (2 ints per occurrence)
+      var off: Array[Int] = if (offsets) new Array[Int](16) else null
+      var offN = 0
       // payload stream, position-aligned (varint len + bytes per position) —
       // allocated only on payload builds, never touched otherwise
       var pay: java.io.ByteArrayOutputStream = null
@@ -456,6 +477,10 @@ object IndexBuilder {
         if (posN == pos.length) pos = java.util.Arrays.copyOf(pos, posN * 2)
         pos(posN) = p; posN += 1
       }
+      def addOff(s: Int, e: Int): Unit = {
+        if (offN + 1 >= off.length) off = java.util.Arrays.copyOf(off, offN * 2 + 2)
+        off(offN) = s; off(offN + 1) = e; offN += 2
+      }
       def addPay(bytes: Array[Byte]): Unit = {
         graft.codec.ForCodec.writeVarLong(pay, bytes.length.toLong)
         pay.write(bytes)
@@ -467,7 +492,13 @@ object IndexBuilder {
     var normN = 0
     it.foreach { case (docId, text) =>
       val txt = if (text == null) "" else text
-      val toks = analyzer.tokens(txt)
+      var starts: Array[Int] = null
+      var ends: Array[Int] = null
+      val toks =
+        if (offsets) {
+          val (tk, st, en) = analyzer.tokenSpans(txt)
+          starts = st; ends = en; tk
+        } else analyzer.tokens(txt)
       var len = 0
       var i = 0
       while (i < toks.length) { if (toks(i) ne null) len += 1; i += 1 }
@@ -505,6 +536,7 @@ object IndexBuilder {
           if (positions) acc.addPos(p)
           if (payloads)
             acc.addPay(if (payBytes == null) Array.emptyByteArray else payBytes)
+          if (offsets) acc.addOff(starts(i), ends(i))
         }
         i += 1
       }
@@ -535,7 +567,19 @@ object IndexBuilder {
         }
         out
       }
-      chunkedRuns(pid, term, docs, tfs, norms, poss, paySegs)
+      val offSegs = if (!offsets) null else {
+        val out = new Array[Array[Byte]](acc.n)
+        var o = 0 // flat-pair cursor: 2 ints per occurrence, tf occurrences
+        var i = 0
+        while (i < acc.n) {
+          out(i) = PostingCodec.encodeOffSegment(
+            java.util.Arrays.copyOfRange(acc.off, o, o + 2 * tfs(i)))
+          o += 2 * tfs(i)
+          i += 1
+        }
+        out
+      }
+      chunkedRuns(pid, term, docs, tfs, norms, poss, paySegs, offSegs)
     }
     val normsRun =
       if (normN == 0) Iterator.empty
@@ -546,19 +590,22 @@ object IndexBuilder {
 
   private def chunkedRuns(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
                           norms: Array[Byte], poss: Array[Array[Int]],
-                          paySegs: Array[Array[Byte]] = null): Iterator[Run] =
+                          paySegs: Array[Array[Byte]] = null,
+                          offSegs: Array[Array[Byte]] = null): Iterator[Run] =
     if (docs.length <= RunMaxPostings)
-      Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss, paySegs))
+      Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss, paySegs, offSegs))
     else docs.indices.grouped(RunMaxPostings).map { idxs =>
       val (a, b) = (idxs.head, idxs.last + 1)
       encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b),
         if (poss == null) null else poss.slice(a, b),
-        if (paySegs == null) null else paySegs.slice(a, b))
+        if (paySegs == null) null else paySegs.slice(a, b),
+        if (offSegs == null) null else offSegs.slice(a, b))
     }
 
   private[graft] def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
                            norms: Array[Byte], poss: Array[Array[Int]],
-                           paySegs: Array[Array[Byte]] = null): Run = {
+                           paySegs: Array[Array[Byte]] = null,
+                           offSegs: Array[Array[Byte]] = null): Run = {
     val gaps = new Array[Long](docs.length - 1)
     var i = 1
     while (i < docs.length) {
@@ -584,6 +631,11 @@ object IndexBuilder {
       if (paySegs == null) Array.emptyByteArray else {
         val buf = new java.io.ByteArrayOutputStream()
         paySegs.foreach(buf.write)
+        buf.toByteArray
+      },
+      if (offSegs == null) Array.emptyByteArray else {
+        val buf = new java.io.ByteArrayOutputStream()
+        offSegs.foreach(buf.write)
         buf.toByteArray
       })
   }
@@ -627,8 +679,10 @@ object IndexBuilder {
           val normsB = new mutable.ArrayBuilder.ofByte
           val poss = new mutable.ArrayBuffer[Array[Int]]()
           val pays = new mutable.ArrayBuffer[Array[Byte]]()
+          val offs = new mutable.ArrayBuffer[Array[Byte]]()
           var hasPos = true
           var hasPay = true
+          var hasOff = true
           while (buf.hasNext && buf.head.term_id == tid) {
             val r = buf.next()
             val (d, t, n) = decodeRun(
@@ -646,6 +700,11 @@ object IndexBuilder {
               // drops them for the term, mirroring the positions rule)
               if (r.cnt > 0 && r.pay_bytes.isEmpty) { hasPay = false; pays.clear() }
               else pays ++= PostingCodec.splitPaySegments(r.pay_bytes, t)
+            }
+            if (hasOff) {
+              // offsets ride the same opaque-segment contract as payloads
+              if (r.cnt > 0 && r.off_bytes.isEmpty) { hasOff = false; offs.clear() }
+              else offs ++= PostingCodec.splitOffSegments(r.off_bytes, t)
             }
           }
           val docs = docsB.result()
@@ -668,7 +727,8 @@ object IndexBuilder {
             PostingCodec.encodeRun(tid,
               byDoc.map(docs(_)), byDoc.map(tfs(_)), byDoc.map(norms(_)),
               if (hasPos) byDoc.map(poss(_)) else null,
-              if (hasPay) byDoc.map(pays(_)) else null)
+              if (hasPay) byDoc.map(pays(_)) else null,
+              if (hasOff) byDoc.map(offs(_)) else null)
           }
         }
         pending.next()

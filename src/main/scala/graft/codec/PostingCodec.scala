@@ -44,7 +44,15 @@ final case class PostingBlock(
     // payload-carrying positions, /root/reference/src/Lucene.Net/Codecs/
     // Lucene41/Lucene41PostingsWriter.cs:381-405), in its OWN Parquet column
     // so every non-payload scan prunes it. Empty when the index stores none.
-    pay_bytes: Array[Byte] = Array.emptyByteArray)
+    pay_bytes: Array[Byte] = Array.emptyByteArray,
+    // Per-position CHARACTER OFFSET stream — the 4th IndexOptions rung
+    // (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS, /root/reference/src/
+    // Lucene.Net/Index/FieldInfo.cs:315-355; Lucene41PostingsWriter writes
+    // startOffset deltas + lengths next to positions, Lucene41PostingsWriter
+    // .cs:390-399). Per posting: 2*tf varints of (start - prevStart,
+    // end - start), prevStart reset per posting so segments are
+    // self-contained. Own Parquet column; empty when not indexed.
+    off_bytes: Array[Byte] = Array.emptyByteArray)
 
 /** Scoring-path projection of [[PostingBlock]] — everything BM25 needs and
   * nothing else, so Parquet column pruning skips the positions payload
@@ -178,7 +186,8 @@ object PostingCodec {
     */
   def encodeRun(termId: Long, docIds: Array[Long], tfs: Array[Int],
                 norms: Array[Byte], poss: Array[Array[Int]],
-                paySegs: Array[Array[Byte]] = null): Iterator[PostingBlock] = {
+                paySegs: Array[Array[Byte]] = null,
+                offSegs: Array[Array[Byte]] = null): Iterator[PostingBlock] = {
     require(docIds.length == tfs.length && docIds.length == norms.length)
     docIds.indices.iterator.grouped(BlockSize).map { idxs =>
       val n = idxs.length
@@ -220,9 +229,17 @@ object PostingCodec {
           while (j < n) { buf.write(paySegs(idxs(j))); j += 1 }
           buf.toByteArray
         }
+      val offBytes =
+        if (offSegs == null) Array.emptyByteArray
+        else {
+          val buf = new java.io.ByteArrayOutputStream()
+          j = 0
+          while (j < n) { buf.write(offSegs(idxs(j))); j += 1 }
+          buf.toByteArray
+        }
       PostingBlock(termId, first, docIds(idxs.last), n,
         ForCodec.pack(gaps), ForCodec.pack(tfl), normArr, posBytes, maxTf, maxNb,
-        payBytes)
+        payBytes, offBytes)
     }
   }
 
@@ -280,6 +297,65 @@ object PostingCodec {
       i += 1
     }
     buf.toByteArray
+  }
+
+  /** Encode ONE posting's character offsets — `pairs` is the flat
+    * [start0, end0, start1, end1, ...] list (2*tf values, starts ascending) —
+    * as the self-contained (start-delta, length) varint segment.
+    */
+  def encodeOffSegment(pairs: Array[Int]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(pairs.length)
+    var prev = 0
+    var k = 0
+    while (k < pairs.length) {
+      ForCodec.writeVarLong(buf, (pairs(k) - prev).toLong)
+      ForCodec.writeVarLong(buf, (pairs(k + 1) - pairs(k)).toLong)
+      prev = pairs(k)
+      k += 2
+    }
+    buf.toByteArray
+  }
+
+  /** Split an offsets stream into raw per-POSTING segments (2*tf varints
+    * each; opaque to re-blocking, like [[splitPaySegments]]).
+    */
+  def splitOffSegments(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](tfs.length)
+    val r = new ForCodec.Reader(bytes, 0)
+    var start = 0
+    var i = 0
+    while (i < tfs.length) {
+      var j = 0
+      while (j < 2 * tfs(i)) { r.readVarLong(); j += 1 }
+      out(i) = java.util.Arrays.copyOfRange(bytes, start, r.pos)
+      start = r.pos
+      i += 1
+    }
+    out
+  }
+
+  /** Decode the offsets stream: per posting, the flat [s0, e0, s1, e1, ...]
+    * absolute pairs (inverse of [[encodeOffSegment]] concatenation).
+    */
+  def unpackOffsets(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val r = new ForCodec.Reader(bytes, 0)
+    val out = new Array[Array[Int]](tfs.length)
+    var i = 0
+    while (i < tfs.length) {
+      val pairs = new Array[Int](2 * tfs(i))
+      var prev = 0
+      var k = 0
+      while (k < pairs.length) {
+        val s = prev + r.readVarLong().toInt
+        val e = s + r.readVarLong().toInt
+        pairs(k) = s; pairs(k + 1) = e
+        prev = s
+        k += 2
+      }
+      out(i) = pairs
+      i += 1
+    }
+    out
   }
 
   /** Per-posting position lists -> one varint-delta byte stream (first

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Gate {
 
   /** Bump when the on-disk index layout changes (invalidates cached builds). */
-  final val Version = "v6"
+  final val Version = "v7"
 
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -79,6 +79,20 @@ object Gate {
       IndexBuilder.build(docs, dir,
         IndexBuilder.Options(analyzer = graft.analysis.WhitespaceAnalyzer,
           payloads = true))
+      dir
+    })
+
+  /** Offsets-carrying index variant (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    * the IndexOptions ladder's 4th rung): per-occurrence character spans in
+    * the postings themselves.
+    */
+  def indexDirOffsets(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#off", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-off-$name"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      IndexBuilder.build(docs, dir, IndexBuilder.Options(offsets = true))
       dir
     })
 
@@ -574,6 +588,33 @@ object Gate {
         }
         .toDF("doc_id", "pos", "snippet")
         .orderBy("doc_id")
+    }),
+    "ft_postings_offsets" -> ((s, d) => {
+      // Character offsets read from the POSTINGS (the 4th IndexOptions
+      // rung, vs ft_term_vector's doc-major storage): per doc containing
+      // 'vector', its tf and the first occurrence's character span. The
+      // off_bytes column is read only here — scoring scans prune it.
+      import s.implicits._
+      val idx = indexDirOffsets(s, d)
+      val tid = termdict(s, idx).filter(col("term") === lit("vector"))
+        .select("term_id").as[Long].head()
+      s.read.parquet(s"$idx/postings")
+        .filter(col("term_id") === lit(tid))
+        .select("first_doc", "cnt", "doc_bytes", "tf_bytes", "off_bytes")
+        .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (firstDoc, cnt, docB, tfB, offB) =>
+          val gaps = graft.codec.ForCodec.unpack(docB)
+          val tfs = graft.codec.ForCodec.unpack(tfB).map(_.toInt)
+          val offs = graft.codec.PostingCodec.unpackOffsets(offB, tfs)
+          var d0 = firstDoc
+          (0 until cnt).iterator.map { i =>
+            if (i > 0) d0 += gaps(i - 1)
+            (d0, tfs(i).toLong, offs(i)(0).toLong, offs(i)(1).toLong)
+          }
+        }
+        .toDF("doc_id", "tf", "first_start", "first_end")
+        .orderBy("doc_id")
+        .limit(25)
     }),
     "ft_term_vector" -> ((s, d) => {
       // Term vectors (doc-major per-doc mini inverted index, reference

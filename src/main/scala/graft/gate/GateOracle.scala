@@ -675,6 +675,15 @@ object GateOracle {
          |       array_to_string(l[f.pos:f.pos + 3], ' ') AS snippet
          |FROM firstpos f JOIN splits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "ft_postings_offsets" ->
+      s"""$prelude, tpos AS ($tposSql)
+         |SELECT doc_id, count(*) AS tf,
+         |  min_by(start_off, p) AS first_start,
+         |  CAST(min_by(start_off + length(t), p) AS BIGINT) AS first_end
+         |FROM tpos
+         |WHERE t = 'vector'
+         |GROUP BY doc_id
+         |ORDER BY doc_id LIMIT 25""".stripMargin,
     "ft_term_vector" ->
       s"""$prelude, tpos AS ($tposSql)
          |SELECT doc_id, t AS term, count(*) AS tf,

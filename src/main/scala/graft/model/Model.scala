@@ -31,7 +31,8 @@ final case class Run(
     tf_bytes: Array[Byte],  // ForCodec-packed tfs (cnt values)
     norm_bytes: Array[Byte], // raw norm byte per posting
     pos_bytes: Array[Byte], // varint-delta positions, tf per posting (may be empty)
-    pay_bytes: Array[Byte] = Array.emptyByteArray // per-position payloads (varint len + bytes; empty when the index stores none)
+    pay_bytes: Array[Byte] = Array.emptyByteArray, // per-position payloads (varint len + bytes; empty when the index stores none)
+    off_bytes: Array[Byte] = Array.emptyByteArray // per-position char offsets (varint start-delta + length, 2*tf varints per posting; empty when not indexed)
 )
 
 /** Doc-norms sidecar row: emitted-token count and its lossy norm byte. */

@@ -177,16 +177,19 @@ object StreamingIndexer {
     val runs: DataFrame = parts.map { dir =>
       val dict = spark.read.parquet(s"$dir/termdict").select("term", "term_id")
       val postings0 = spark.read.parquet(s"$dir/postings")
-      val postings = // segments written before the payloads column read payload-less
+      val postings1 = // segments written before the payloads column read payload-less
         if (postings0.columns.contains("pay_bytes")) postings0
         else postings0.withColumn("pay_bytes", lit(Array.emptyByteArray))
+      val postings = // ... and before the offsets column, offset-less
+        if (postings1.columns.contains("off_bytes")) postings1
+        else postings1.withColumn("off_bytes", lit(Array.emptyByteArray))
       postings
         .join(dict, "term_id")
         .select(lit(-1).as("pid"), col("term"), col("first_doc"), col("last_doc"), col("cnt"),
           // sum_tf per run only feeds the termdict agg; recompute from blocks
           lit(0L).as("sum_tf"), col("max_tf"), col("max_nb"),
           col("doc_bytes"), col("tf_bytes"), col("norm_bytes"), col("pos_bytes"),
-          col("pay_bytes"))
+          col("pay_bytes"), col("off_bytes"))
     }.reduce(_ unionByName _)
     // recompute per-run sum_tf (needed for ttf) by decoding tf cells; when
     // tombstones exist, drop dead postings and re-encode (the purge)
@@ -208,12 +211,17 @@ object StreamingIndexer {
           val pays =
             if (hasPay) graft.codec.PostingCodec.splitPaySegments(r.pay_bytes, tfs)
             else null
+          val hasOff = r.off_bytes.nonEmpty
+          val offs =
+            if (hasOff) graft.codec.PostingCodec.splitOffSegments(r.off_bytes, tfs)
+            else null
           val keep = docs.indices.filter(i => !dead.value.contains(docs(i)))
           if (keep.isEmpty) Iterator.empty
           else Iterator.single(IndexBuilder.encodeRunRow(r.pid, r.term,
             keep.map(docs).toArray, keep.map(tfs).toArray,
             keep.map(norms).toArray, if (hasPos) keep.map(poss).toArray else null,
-            if (hasPay) keep.map(pays).toArray else null))
+            if (hasPay) keep.map(pays).toArray else null,
+            if (hasOff) keep.map(offs).toArray else null))
       }
     }
     fixed.write.mode("overwrite").parquet(s"$newBase/runs")

@@ -19,7 +19,12 @@ object IndexVerifier {
 
     val stats = spark.read.parquet(s"$indexDir/stats").as[CollectionStats].head()
     val termdict = spark.read.parquet(s"$indexDir/termdict").cache()
-    val postings = spark.read.parquet(s"$indexDir/postings").as[PostingBlock]
+    val postings0 = spark.read.parquet(s"$indexDir/postings")
+    val postings = Seq("pay_bytes", "off_bytes") // pre-payload/offset tables
+      .foldLeft(postings0)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(Array.emptyByteArray)))
+      .as[PostingBlock]
     val norms = spark.read.parquet(s"$indexDir/norms")
 
     // Per-block decode invariants + per-term aggregates from postings.
@@ -57,6 +62,31 @@ object IndexVerifier {
         while (i < segs.length) { consumed += segs(i).length; i += 1 }
         require(consumed == b.pay_bytes.length,
           s"payload stream length mismatch in term ${b.term_id}")
+      }
+      // offsets (when indexed): 2*tf varints per posting; pairs well-formed
+      // (end > start except empty tokens, starts strictly increasing within
+      // a posting — later positions start later in the text) and the stream
+      // fully consumed
+      if (b.off_bytes.nonEmpty) {
+        val offs = PostingCodec.unpackOffsets(b.off_bytes, tfs)
+        var consumed = 0
+        i = 0
+        while (i < offs.length) {
+          val pairs = offs(i)
+          require(pairs.length == 2 * tfs(i), s"offset pairs != tf in term ${b.term_id}")
+          var k = 0
+          while (k < pairs.length) {
+            require(pairs(k) >= 0 && pairs(k + 1) >= pairs(k),
+              s"malformed offset pair in term ${b.term_id}")
+            if (k > 0) require(pairs(k) > pairs(k - 2),
+              s"offsets not increasing in term ${b.term_id}")
+            k += 2
+          }
+          consumed += PostingCodec.encodeOffSegment(pairs).length
+          i += 1
+        }
+        require(consumed == b.off_bytes.length,
+          s"offset stream length mismatch in term ${b.term_id}")
       }
       (b.term_id, b.cnt.toLong, tfs.map(_.toLong).sum, b.first_doc, b.last_doc)
     }.toDF("term_id", "cnt", "sum_tf", "first_doc", "last_doc")
