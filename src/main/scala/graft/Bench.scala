@@ -134,19 +134,31 @@ object Bench {
     runPair()
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     def minEff(): Double = (t1s.min / t4s.min) / 4.0
-    while (t4s.size < maxPairs && minEff() < 0.82) runPair()
+    // Median of per-pair efficiencies — the PRIMARY estimator. Each pair's
+    // samples share one host-noise window, so a pair is window-controlled;
+    // the median then rejects a single bad-window pair in EITHER direction
+    // (min-per-side mixes windows across sides and has read both 0.58 and
+    // an unphysical 1.05 on this VM in drift windows where the pair median
+    // stayed at 0.81).
+    def medianPairEff(): Double = {
+      val es = t4s.indices.map(i => (t1s(i) / t4s(i)) / 4.0).sorted
+      if (es.length % 2 == 1) es(es.length / 2)
+      else (es(es.length / 2 - 1) + es(es.length / 2)) / 2.0
+    }
+    while (t4s.size < maxPairs && (medianPairEff() < 0.82 || minEff() < 0.78)) runPair()
     val t4pos = buildAt("local[4]", 16, numConvs, positions = true)
     val warmIdx = s"$benchDir/index-$buildSeq" // the positional index
     val t1 = t1s.min
     val t4 = t4s.min
     val eff = minEff()
+    val effMed = medianPairEff()
     val pairEffs = t4s.indices.map(i => (t1s(i) / t4s(i)) / 4.0)
     // Checkpoint the scaling evidence NOW (overwritten by the full line at
     // the end): the scaling phase is the wall-clock bulk of this main, and a
     // harness timeout later must not lose it.
     locally {
       val partial =
-        f"""{"metric":"scaling_partial","value":${(System.nanoTime() - wall0) / 1e9}%.1f,"unit":"sec","sf":"$sfDir%s","scaling":{"turns":$turns,"t1_s":$t1%.2f,"t4_s":$t4%.2f,"efficiency_n_to_4n":$eff%.3f,""" +
+        f"""{"metric":"scaling_partial","value":${(System.nanoTime() - wall0) / 1e9}%.1f,"unit":"sec","sf":"$sfDir%s","scaling":{"turns":$turns,"t1_s":$t1%.2f,"t4_s":$t4%.2f,"efficiency_n_to_4n":$eff%.3f,"efficiency_median_pair":$effMed%.3f,""" +
           pairEffs.map(e => f"$e%.3f").mkString(""""pair_efficiencies":[""", ",", "],") +
           f""""efficiency_best_pair":${pairEffs.max}%.3f}}"""
       new java.io.File(benchDir).mkdirs()
@@ -236,7 +248,7 @@ object Bench {
     val extra =
       f""""scaling":{"turns":$turns,"t1_s":$t1%.2f,"t4_s":$t4%.2f,""" +
         f""""turns_per_sec_n1":${turns / t1}%.0f,"turns_per_sec_n4":${turns / t4}%.0f,""" +
-        f""""efficiency_n_to_4n":$eff%.3f,""" +
+        f""""efficiency_n_to_4n":$eff%.3f,"efficiency_median_pair":$effMed%.3f,""" +
         pairEffs.map(e => f"$e%.3f").mkString(""""pair_efficiencies":[""", ",", "],") +
         f""""efficiency_best_pair":${pairEffs.max}%.3f}"""
     val line =

@@ -158,8 +158,11 @@ object IndexBuilder {
     val segP = if (opts.segmentPartitions > 0) opts.segmentPartitions
                else partitions(spark, opts)
     val keys = Seq(col("conv_id"), col("turn_idx"))
+    require(!opts.offsets || opts.positions,
+      "offsets require positions (the reference's IndexOptions ladder)")
     val bAn = spark.sparkContext.broadcast(opts.analyzer)
     val bPos = spark.sparkContext.broadcast(opts.positions)
+    val bOffs = spark.sparkContext.broadcast(opts.offsets)
     if (!manifest.isDone("runs")) {
       val t0 = System.nanoTime()
       turns.toDF()
@@ -169,7 +172,7 @@ object IndexBuilder {
         .as[(String, Int, String)]
         .mapPartitions { it =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          buildRunsWithDocmap(pid, it, bAn.value, bPos.value)
+          buildRunsWithDocmap(pid, it, bAn.value, bPos.value, bOffs.value)
         }
         .write.mode("overwrite").parquet(s"$outDir/runs")
       manifest.commit("runs", -1L, ms(t0), Some(s"$outDir/runs"))
@@ -209,7 +212,7 @@ object IndexBuilder {
     */
   private def buildRunsWithDocmap(pid: Int,
       it: Iterator[(String, Int, String)], analyzer: TextAnalyzer,
-      positions: Boolean): Iterator[Run] = {
+      positions: Boolean, offsets: Boolean = false): Iterator[Run] = {
     val payload = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(payload)
     var chunkStart = 0L
@@ -228,7 +231,7 @@ object IndexBuilder {
       out.writeInt(t)
       if (local - chunkStart + 1 >= RunMaxPostings) flushDocmap()
       (local, text)
-    }, analyzer, positions)
+    }, analyzer, positions, payloads = false, offsets = offsets)
     // buildRuns drains `it` eagerly before returning its (lazy) run iterator,
     // so docmapRuns is complete here and run encoding stays streaming.
     flushDocmap()
