@@ -226,6 +226,15 @@ object Bench {
       val s = session("local[32]", 32)
       val (_, tIdx) = timed(Gate.indexDir(s, sfDir))
       out += "gate_index_build_s" -> tIdx
+      // ANN stores are write-once artifacts like the index: build them HERE
+      // (eagerly, timed as build cost) so the ann_* gate timings below
+      // measure the probe alone — the number that proves partition pruning.
+      val (_, tAnn) = timed {
+        Gate.annLshDir(s, sfDir)
+        Gate.annIvfDir(s, sfDir)
+        Gate.annPqDir(s, sfDir)
+      }
+      out += "gate_ann_build_s" -> tAnn
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val (_, t) = timed {
           try fn(s, sfDir).count()

@@ -1681,6 +1681,9 @@ object Gate {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val qq: Array[Long] = quant(emb.filter(_._1 == 0L).head()._2)
+    // all-zero query carries no direction: fail fast on the driver instead
+    // of broadcasting a null and NPE-ing inside executor flatMaps
+    require(qq != null, "int8TopK: query vector (vec_id 0) is all-zero")
     val bq = spark.sparkContext.broadcast(qq)
     val nq = {
       var acc = 0.0; var i = 0
@@ -1724,55 +1727,115 @@ object Gate {
     * smaller scan than raw floats); compose with IVF partition pruning
     * (ann_ivf) for sublinear candidate sets.
     */
-  def annPq(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  final val PqM = 8
+  final val PqKs = 16
+
+  private def pqD2(a: Array[Double], boff: Int, b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < b.length) { val t = a(boff + i) - b(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  /** Deterministic PQ sub-codebooks + the query vector: centroids(j)(c) =
+    * subvector j of vec id c+1 (the "trained on a sample" stand-in shared
+    * with ann_ivf's centroid convention), query = vec id 0. One pushed-down
+    * 17-row point lookup.
+    */
+  private def pqCodebook(spark: SparkSession, sfDir: String)
+      : (Array[Array[Array[Double]]], Array[Double], Int) = {
     import spark.implicits._
-    val m = 8; val ks = 16
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val small = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val small = emb.filter(_._1 <= ks.toLong).collect().sortBy(_._1)
+      .filter(_._1 <= PqKs.toLong).collect().sortBy(_._1)
     val dim = small.head._2.length
-    val sub = dim / m
+    val sub = dim / PqM
+    // the DuckDB oracle hardcodes 8-dim list_slice windows; a corpus dim
+    // change must fail FAST here, not surface as a silent hash mismatch
+    require(sub == 8, s"ann_pq oracle assumes 8-dim subspaces, got dim=$dim m=$PqM sub=$sub")
     val query: Array[Double] = small.find(_._1 == 0L).get._2.map(_.toDouble)
-    // centroids(j)(c): subvector j of vec id c+1
-    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      Array.tabulate(ks) { c =>
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(PqM) { j =>
+      Array.tabulate(PqKs) { c =>
         small.find(_._1 == (c + 1).toLong).get._2
           .slice(j * sub, (j + 1) * sub).map(_.toDouble)
       }
     }
-    def d2(a: Array[Double], boff: Int, b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < b.length) { val t = a(boff + i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
+    (cents, query, sub)
+  }
+
+  /** WRITE-TIME PQ encoding: the materialized codes table — (vec_id,
+    * codes: 8 nibble ids) per vector, 4 bits x 8 = 4 B of payload vs 256 B
+    * of raw floats — PARTITIONED by the vector's IVF `list` (the ann_ivf
+    * coarse quantizer), the standard IVF-PQ composition: a probe prunes to
+    * nprobe/nlist of the files AND scans only codes inside them. Built once
+    * per sf, cached like the index.
+    */
+  def annPqDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#annpq", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-ann-pq-$name"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        import spark.implicits._
+        val (cents, _, sub) = pqCodebook(spark, sfDir)
+        val bc = spark.sparkContext.broadcast(cents)
+        val bl = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, e) =>
+            val cs = bc.value
+            val ev = new Array[Double](e.length)
+            var i = 0
+            while (i < e.length) { ev(i) = e(i).toDouble; i += 1 }
+            val codes = new Array[Int](PqM)
+            var j = 0
+            while (j < PqM) {
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < PqKs) {
+                val d = pqD2(ev, j * sub, cs(j)(c))
+                if (d < bestD) { bestD = d; best = c } // ties keep the lowest c
+                c += 1
+              }
+              codes(j) = best
+              j += 1
+            }
+            val list = bl.value.map { case (cid, cv) => (ivfD2(e, cv), cid) }.min._2
+            (id, codes, list)
+          }
+          .toDF("vec_id", "codes", "list")
+          .write.mode("overwrite").partitionBy("list").parquet(dir)
+      }
+      dir
+    })
+
+  def annPq(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val (cents, query, sub) = pqCodebook(spark, sfDir)
     // ADC table, integer-quantized per entry (order-free final sums)
-    val dq: Array[Array[Long]] = Array.tabulate(m) { j =>
-      Array.tabulate(ks) { c =>
-        math.floor(d2(query, j * sub, cents(j)(c)) * 1000.0 + 0.5).toLong
+    val dq: Array[Array[Long]] = Array.tabulate(PqM) { j =>
+      Array.tabulate(PqKs) { c =>
+        math.floor(pqD2(query, j * sub, cents(j)(c)) * 1000.0 + 0.5).toLong
       }
     }
-    val bc = spark.sparkContext.broadcast((cents, dq))
-    emb.map { case (id, e) =>
-      val (cs, t) = bc.value
-      val ev = new Array[Double](e.length)
-      var i = 0
-      while (i < e.length) { ev(i) = e(i).toDouble; i += 1 }
-      var adist = 0L
-      var j = 0
-      while (j < m) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < ks) {
-          val d = d2(ev, j * sub, cs(j)(c))
-          if (d < bestD) { bestD = d; best = c } // ties keep the lowest c
-          c += 1
-        }
-        adist += t(j)(best)
-        j += 1
+    val bt = spark.sparkContext.broadcast(dq)
+    // The ADC pass scans ONLY the materialized codes table ([[annPqDir]],
+    // 4 B/vector): per row it is m integer table lookups — no float math,
+    // no raw embeddings anywhere in the executed plan. (Exhaustive over all
+    // lists here to mirror the oracle exactly; a recall-oriented serving
+    // path pushes an IN-set on the `list` partition column first, ann_ivf's
+    // probe shape, and exact-reranks a shortlist — operators.ProductQuantizer.)
+    spark.read.parquet(annPqDir(spark, sfDir))
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Array[Int])]
+      .map { case (id, codes) =>
+        val t = bt.value
+        var adist = 0L
+        var j = 0
+        while (j < PqM) { adist += t(j)(codes(j)); j += 1 }
+        (id, adist)
       }
-      (id, adist)
-    }.toDF("vec_id", "adist_q")
+      .toDF("vec_id", "adist_q")
       .orderBy(asc("adist_q"), asc("vec_id"))
       .limit(k)
   }

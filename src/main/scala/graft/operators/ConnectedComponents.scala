@@ -45,11 +45,20 @@ object ConnectedComponents {
     val sym = base.union(base.select(col("n").as("v"), col("v").as("n")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.isEmpty) {
+      // zero candidate pairs: no nodes, no groups — an empty (doc_id, root)
+      // frame, not an NPE from a null label-sum aggregate
+      sym.unpersist()
+      return base.sparkSession.range(0)
+        .select(col("id").as("doc_id"), col("id").as("root"))
+    }
     var lab = sym.select(col("v")).distinct().withColumn("l", col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // decimal(38,0) sum: overflow-proof at any id range / node count
+    // decimal(38,0) sum: overflow-proof at any id range / node count;
+    // coalesced to 0 so an empty label table can never yield a null
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("l").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prev = labelSum(lab)
     var rounds = 0
     var converged = false
@@ -76,6 +85,11 @@ object ConnectedComponents {
       prev = cur
       rounds += 1
     }
+    // maxRounds is a safety valve, not an answer: labels that never went
+    // stationary are possibly wrong (split components), so fail loudly
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds " +
+        "(adversarial chain graph? raise maxRounds or checkpoint labels)")
     sym.unpersist()
     lab.select(col("v").as("doc_id"), col("l").as("root"))
   }

@@ -116,21 +116,37 @@ object ProductQuantizer {
     Codebook(m, ks, sub, cents)
   }
 
-  /** ADC shortlist of `shortlist` ids, exact-reranked to the top `k` by true
-    * squared L2 — the standard PQ serving pipeline. The ADC pass reads only
-    * codes; the rerank touches `shortlist` raw vectors.
+  /** One encode pass over the store: the materialized codes table the ADC
+    * pass scans instead of raw vectors — m small ints per row
+    * (m*ceil(log2 ks)/8 bytes once written, 4 B/vector at m=8 ks=16 vs
+    * 256 B of floats). Built ONCE per store (persist it next to the
+    * vectors; compose with an IVF `list` partition column for sublinear
+    * probes — see gate.Gate.annPqDir).
     */
-  def search(spark: SparkSession, vectors: Dataset[(Long, Array[Float])],
+  def encodeStore(spark: SparkSession, vectors: Dataset[(Long, Array[Float])],
+                  cb: Codebook): Dataset[(Long, Array[Int])] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    vectors.map { case (id, v) => (id, encode(v, bc.value)) }
+  }
+
+  /** ADC shortlist of `shortlist` ids, exact-reranked to the top `k` by true
+    * squared L2 — the standard PQ serving pipeline. The ADC pass scans ONLY
+    * the materialized `codes` table (no float math, no raw vectors: m table
+    * lookups per row); the raw `vectors` table is touched only to fetch the
+    * `shortlist` rows for the exact rerank.
+    */
+  def search(spark: SparkSession, codes: Dataset[(Long, Array[Int])],
+             vectors: Dataset[(Long, Array[Float])],
              cb: Codebook, query: Array[Float],
              shortlist: Int, k: Int): Array[(Long, Double)] = {
     import spark.implicits._
     val t = adcTable(query, cb)
-    val bc = spark.sparkContext.broadcast((cb, t))
-    val short = vectors.map { case (id, v) =>
-      val (cbk, tab) = bc.value
-      val codes = encode(v, cbk)
+    val bt = spark.sparkContext.broadcast(t)
+    val short = codes.map { case (id, cs) =>
+      val tab = bt.value
       var ad = 0.0; var j = 0
-      while (j < cbk.m) { ad += tab(j)(codes(j)); j += 1 }
+      while (j < cs.length) { ad += tab(j)(cs(j)); j += 1 }
       (id, ad)
     }.toDF("vec_id", "adist")
       .orderBy(org.apache.spark.sql.functions.asc("adist"),

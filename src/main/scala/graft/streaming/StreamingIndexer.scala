@@ -148,13 +148,73 @@ object StreamingIndexer {
     log.commit(snap.maxDoc, snap.base, snap.segments, snap.tombs :+ tombDir)
   }
 
+  /** One exploded posting in flight through the bulk purge shuffle. `pos`
+    * (absolute positions), `pay` (payload segment) and `off` (offset
+    * segment) are null when the run's IndexOptions level omits them —
+    * all-or-none within a run.
+    */
+  final case class PurgedPosting(term: String, run_key: Long,
+                                         doc_id: Long, tf: Int, nb: Byte,
+                                         pos: Array[Int], pay: Array[Byte],
+                                         off: Array[Byte])
+
+  /** Bulk tombstone purge: runs -> per-posting rows -> anti-join the
+    * (data-sized) tombstone table on doc_id -> regroup per original run and
+    * re-encode. Every step is a keyed shuffle; the delete set never reaches
+    * the driver. Groups are original posting runs (block-sized), so
+    * per-group memory stays bounded; (term, original first_doc) keys a run
+    * uniquely because segment doc spaces are disjoint.
+    */
+  private def purgeBulk(spark: SparkSession, runs: DataFrame,
+                        tombs: DataFrame): Dataset[graft.model.Run] = {
+    import spark.implicits._
+    val exploded = runs.as[graft.model.Run].flatMap { r =>
+      val (docs, tfs, norms) = IndexBuilder.decodeRun(r)
+      val hasPos = r.pos_bytes.nonEmpty
+      val poss =
+        if (hasPos) graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
+        else null
+      val hasPay = r.pay_bytes.nonEmpty
+      val pays =
+        if (hasPay) graft.codec.PostingCodec.splitPaySegments(r.pay_bytes, tfs)
+        else null
+      val hasOff = r.off_bytes.nonEmpty
+      val offs =
+        if (hasOff) graft.codec.PostingCodec.splitOffSegments(r.off_bytes, tfs)
+        else null
+      docs.indices.iterator.map { i =>
+        PurgedPosting(r.term, r.first_doc, docs(i), tfs(i), norms(i),
+          if (hasPos) poss(i) else null,
+          if (hasPay) pays(i) else null,
+          if (hasOff) offs(i) else null)
+      }
+    }
+    exploded
+      .join(tombs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .as[PurgedPosting]
+      .groupByKey(p => (p.term, p.run_key))
+      .mapGroups { (key: (String, Long), it: Iterator[PurgedPosting]) =>
+        val term = key._1
+        val rows = it.toArray.sortBy(_.doc_id)
+        val hasPos = rows.head.pos != null
+        val hasPay = rows.head.pay != null
+        val hasOff = rows.head.off != null
+        IndexBuilder.encodeRunRow(-1, term,
+          rows.map(_.doc_id), rows.map(_.tf), rows.map(_.nb),
+          if (hasPos) rows.map(_.pos) else null,
+          if (hasPay) rows.map(_.pay) else null,
+          if (hasOff) rows.map(_.off) else null)
+      }
+  }
+
   /** Merge base + all segments into a fresh base snapshot (SegmentMerger +
     * TieredMergePolicy analog): every segment's postings rows ARE doc-sorted
     * disjoint-range runs per term, so they re-enter the batch builder's
     * sort-merge (S4) unchanged; the snapshot pointer flips atomically at the
     * end and old segment dirs stay readable for in-flight queries.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String,
+              broadcastTombMax: Long = 500000L): Unit = {
     import spark.implicits._
     val log = new SnapshotLog(indexDir, spark)
     val snap = log.latest().getOrElse(return)
@@ -164,15 +224,23 @@ object StreamingIndexer {
     val parts = snap.base.toSeq ++ snap.segments
     val newBase = s"$indexDir/base-${snap.id + 1}"
     // Tombstone purge (LiveDocsFormat -> SegmentMerger drop-deleted
-    // semantics): the buffered delete set is bounded by the delete rate per
-    // compaction interval (it is flushed here), so a broadcast set is the
-    // right distribution strategy — each run re-encodes locally.
+    // semantics), TWO distribution strategies switched on the delete-set
+    // size: trickle deletes (bounded by the delete rate per compaction
+    // interval) broadcast a set and each run re-encodes locally; BULK
+    // deletes (delete-by-hot-term, GDPR-style source purges — data-sized,
+    // nothing the driver may hold) take a fully shuffled path: explode runs
+    // to postings, anti-join the tombstone table on doc_id (the same join
+    // the query-time liveDocs path uses), regroup per original run. The
+    // shuffle is one pass over the index — the floor for any purge that
+    // rewrites a data-sized fraction of it.
     val tombDf: Option[DataFrame] =
       if (snap.tombs.isEmpty) None
       else Some(snap.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
         .select("doc_id").distinct())
-    val tombSet = tombDf.map(df =>
-      spark.sparkContext.broadcast(df.as[Long].collect().toSet))
+    val tombCount = tombDf.map(_.count()).getOrElse(0L)
+    val tombSet =
+      if (tombCount > broadcastTombMax) None
+      else tombDf.map(df => spark.sparkContext.broadcast(df.as[Long].collect().toSet))
     // postings (term_id) -> Run rows (term): reverse the per-segment dict
     val runs: DataFrame = parts.map { dir =>
       val dict = spark.read.parquet(s"$dir/termdict").select("term", "term_id")
@@ -193,37 +261,39 @@ object StreamingIndexer {
     }.reduce(_ unionByName _)
     // recompute per-run sum_tf (needed for ttf) by decoding tf cells; when
     // tombstones exist, drop dead postings and re-encode (the purge)
-    val fixed = runs.as[graft.model.Run].flatMap { r =>
-      tombSet match {
-        case None =>
-          val tfs = graft.codec.ForCodec.unpack(r.tf_bytes)
-          Iterator.single(r.copy(sum_tf = tfs.sum))
-        case Some(dead) =>
-          val (docs, tfs, norms) = IndexBuilder.decodeRun(r)
-          // DOCS_AND_FREQS runs carry no positions payload (mirror the
-          // mergeRuns hasPos handling): decode/re-encode positions only
-          // when present, else pass null through.
-          val hasPos = r.pos_bytes.nonEmpty
-          val poss =
-            if (hasPos) graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
-            else null
-          val hasPay = r.pay_bytes.nonEmpty
-          val pays =
-            if (hasPay) graft.codec.PostingCodec.splitPaySegments(r.pay_bytes, tfs)
-            else null
-          val hasOff = r.off_bytes.nonEmpty
-          val offs =
-            if (hasOff) graft.codec.PostingCodec.splitOffSegments(r.off_bytes, tfs)
-            else null
-          val keep = docs.indices.filter(i => !dead.value.contains(docs(i)))
-          if (keep.isEmpty) Iterator.empty
-          else Iterator.single(IndexBuilder.encodeRunRow(r.pid, r.term,
-            keep.map(docs).toArray, keep.map(tfs).toArray,
-            keep.map(norms).toArray, if (hasPos) keep.map(poss).toArray else null,
-            if (hasPay) keep.map(pays).toArray else null,
-            if (hasOff) keep.map(offs).toArray else null))
+    val fixed: Dataset[graft.model.Run] =
+      if (tombDf.isDefined && tombSet.isEmpty) purgeBulk(spark, runs, tombDf.get)
+      else runs.as[graft.model.Run].flatMap { r =>
+        tombSet match {
+          case None =>
+            val tfs = graft.codec.ForCodec.unpack(r.tf_bytes)
+            Iterator.single(r.copy(sum_tf = tfs.sum))
+          case Some(dead) =>
+            val (docs, tfs, norms) = IndexBuilder.decodeRun(r)
+            // DOCS_AND_FREQS runs carry no positions payload (mirror the
+            // mergeRuns hasPos handling): decode/re-encode positions only
+            // when present, else pass null through.
+            val hasPos = r.pos_bytes.nonEmpty
+            val poss =
+              if (hasPos) graft.codec.PostingCodec.unpackPositions(r.pos_bytes, tfs)
+              else null
+            val hasPay = r.pay_bytes.nonEmpty
+            val pays =
+              if (hasPay) graft.codec.PostingCodec.splitPaySegments(r.pay_bytes, tfs)
+              else null
+            val hasOff = r.off_bytes.nonEmpty
+            val offs =
+              if (hasOff) graft.codec.PostingCodec.splitOffSegments(r.off_bytes, tfs)
+              else null
+            val keep = docs.indices.filter(i => !dead.value.contains(docs(i)))
+            if (keep.isEmpty) Iterator.empty
+            else Iterator.single(IndexBuilder.encodeRunRow(r.pid, r.term,
+              keep.map(docs).toArray, keep.map(tfs).toArray,
+              keep.map(norms).toArray, if (hasPos) keep.map(poss).toArray else null,
+              if (hasPay) keep.map(pays).toArray else null,
+              if (hasOff) keep.map(offs).toArray else null))
+        }
       }
-    }
     fixed.write.mode("overwrite").parquet(s"$newBase/runs")
     def purged(df: DataFrame): DataFrame =
       tombDf.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)

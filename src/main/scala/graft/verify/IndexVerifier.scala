@@ -64,9 +64,10 @@ object IndexVerifier {
           s"payload stream length mismatch in term ${b.term_id}")
       }
       // offsets (when indexed): 2*tf varints per posting; pairs well-formed
-      // (end > start except empty tokens, starts strictly increasing within
-      // a posting — later positions start later in the text) and the stream
-      // fully consumed
+      // (end >= start, starts non-decreasing within a posting — the
+      // reference CheckIndex rejects only startOffset < lastStartOffset,
+      // CheckIndex.cs:1626 region: EQUAL starts are legal, e.g. same-position
+      // synonym/phonetic-injected tokens) and the stream fully consumed
       if (b.off_bytes.nonEmpty) {
         val offs = PostingCodec.unpackOffsets(b.off_bytes, tfs)
         var consumed = 0
@@ -78,8 +79,8 @@ object IndexVerifier {
           while (k < pairs.length) {
             require(pairs(k) >= 0 && pairs(k + 1) >= pairs(k),
               s"malformed offset pair in term ${b.term_id}")
-            if (k > 0) require(pairs(k) > pairs(k - 2),
-              s"offsets not increasing in term ${b.term_id}")
+            if (k > 0) require(pairs(k) >= pairs(k - 2),
+              s"offsets went backwards in term ${b.term_id}")
             k += 2
           }
           consumed += PostingCodec.encodeOffSegment(pairs).length
@@ -130,8 +131,18 @@ object IndexVerifier {
       .as[(Long, Long, Long)].head()
     if (nTerms > 0 && (idStats._1 != 0L || idStats._2 != nTerms - 1 || idStats._3 != nTerms))
       errs += s"term_ids not dense: $idStats over $nTerms terms"
-    val misordered = termdict.as[graft.model.TermDictRow].collect().sortBy(_.term_id)
-      .sliding(2).count { case Array(a, b) => a.term >= b.term; case _ => false }
+    // term order must follow term_id order. DISTRIBUTED check — CheckIndex's
+    // value is at production scale, so no whole-dict collect: a window lag
+    // over the termdict compares each term to its id-predecessor. The single
+    // unpartitioned window is verifier-only and still streams (sort + lag,
+    // one pass); a sharded variant would window within id-ranges and check
+    // shard boundaries separately, same invariant.
+    val ordW = org.apache.spark.sql.expressions.Window.orderBy("term_id")
+    val misordered = termdict
+      .select(col("term_id"), col("term"),
+        lag("term", 1).over(ordW).as("prev_term"))
+      .filter(col("prev_term").isNotNull && col("prev_term") >= col("term"))
+      .count()
     if (misordered > 0) errs += s"$misordered term_id pairs out of term order"
 
     val sumDf = termdict.agg(coalesce(sum("df"), lit(0L))).as[Long].head()

@@ -96,6 +96,44 @@ class DeleteSpec extends AnyFunSuite {
     assert(purged.search(Query.Term("time"), 10).count() > 0)
   }
 
+  test("bulk purge: majority delete-by-hot-term compacts via the shuffled anti-join path") {
+    // Same delete applied to two identical indexes; one compaction runs the
+    // broadcast-set purge, the other is FORCED onto the bulk anti-join path
+    // (broadcastTombMax = 0 — the production trigger is a data-sized delete
+    // set that must never be collected to the driver). The two bases must
+    // agree exactly.
+    val all = Transcripts.local(80)
+    val cut = all.size / 2
+    def mkIndex(): String = {
+      val dir = Files.createTempDirectory("graft_del_bulk").toString
+      StreamingIndexer.appendSegment(spark.createDataset(all.take(cut)), dir, autoCompact = false)
+      StreamingIndexer.appendSegment(spark.createDataset(all.drop(cut)), dir, autoCompact = false)
+      StreamingIndexer.deleteByTerm(spark, dir, "time") // a hot term
+      dir
+    }
+    val dirA = mkIndex()
+    val dirB = mkIndex()
+    val dead = new SnapshotLog(dirA, spark).latest().get.tombs
+      .map(t => spark.read.parquet(t)).reduce(_ unionByName _)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dead.size * 4 > all.size, s"hot-term delete should be bulk-sized, got ${dead.size}/${all.size}")
+    StreamingIndexer.compact(spark, dirA) // broadcast path
+    StreamingIndexer.compact(spark, dirB, broadcastTombMax = 0L) // anti-join path
+    val baseA = new SnapshotLog(dirA, spark).latest().get.base.get
+    val baseB = new SnapshotLog(dirB, spark).latest().get.base.get
+    assert(IndexVerifier.verify(spark, baseB).isEmpty)
+    val sA = new Searcher(spark, baseA)
+    val sB = new Searcher(spark, baseB)
+    assert(sB.search(Query.Term("time"), 1000).count() == 0)
+    assert(sA.stats == sB.stats)
+    for (q <- Seq(Query.Term("person"), Query.Phrase(Seq("year", "way")),
+      Query.Bool(must = Seq("person"), should = Seq("world")))) {
+      val a = sA.search(q, 50).collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      val b = sB.search(q, 50).collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      assert(a == b, s"purge-path divergence on $q")
+    }
+  }
+
   test("updateDocuments: delete + add publish in one atomic snapshot") {
     val dir = Files.createTempDirectory("graft_upd").toString
     val all = Transcripts.local(40)

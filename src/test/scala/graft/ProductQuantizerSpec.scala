@@ -53,8 +53,15 @@ class ProductQuantizerSpec extends AnyFunSuite {
     val ds = spark.createDataset(data).cache()
     val cb = ProductQuantizer.train(spark, ds, m = 4, ks = 16, iters = 3)
     val query = data.find(_._1 == 16L).get._2 // a noisy point of cluster 0
-    val got = ProductQuantizer.search(spark, ds, cb, query, shortlist = 50, k = 10)
-      .map(_._1).toSet
+    // codes-table round-trip: materialize to parquet and read BACK, so the
+    // ADC pass provably runs off the persisted codes, not raw vectors
+    val codesDir = s"target/test-pq-codes-${System.nanoTime()}"
+    ProductQuantizer.encodeStore(spark, ds, cb)
+      .toDF("vec_id", "codes").write.mode("overwrite").parquet(codesDir)
+    val codes = spark.read.parquet(codesDir)
+      .as[(Long, Array[Int])]
+    val got = ProductQuantizer.search(spark, codes, ds, cb, query,
+      shortlist = 50, k = 10).map(_._1).toSet
     val exact = data.map { case (id, v) =>
       (id, v.indices.map { i =>
         val d = v(i).toDouble - query(i).toDouble; d * d
