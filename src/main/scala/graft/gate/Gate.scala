@@ -517,8 +517,66 @@ object Gate {
         .join(docsTable(s, d), "doc_id")
         .groupBy("lang").agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("cnt"))
         .orderBy("lang")),
+    "ft_facet_tree" -> ((s, d) => {
+      // HIERARCHICAL taxonomy facets (FastTaxonomyFacetCounts,
+      // /root/reference/src/Lucene.Net.Facet/Taxonomy/FastTaxonomyFacetCounts.cs:34;
+      // taxonomy tree under Taxonomy/Directory/): a two-level dimension
+      // lang -> lang/source over the 'index' hits. Parent counts are the
+      // ROLLUP of their children (rn=0 rows); child rows carry the
+      // top-children-per-parent ordinal (count desc, ord asc — the
+      // GetTopChildren contract), kept to 3 per parent.
+      val base = hits(s, d, Seq("index")).select("doc_id").distinct()
+        .join(docsTable(s, d).select("doc_id", "lang", "source"), "doc_id")
+      val children = base.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("source"))
+      val topChildren = children.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(concat(col("lang"), lit("/"), col("source")).as("path"),
+          col("cnt"), col("rn").cast("long").as("rn"))
+      val parents = children.groupBy("lang").agg(sum("cnt").as("cnt"))
+        .select(col("lang").as("path"), col("cnt"), lit(0L).as("rn"))
+      parents.unionByName(topChildren).orderBy("path", "rn")
+    }),
     "ft_drill_sideways" -> ((s, d) => drillSideways(s, d)),
     "ft_suggest" -> ((s, d) => suggest(s, d, "tabel", 5)),
+    "ft_suggest_prefix" -> ((s, d) => {
+      // AnalyzingSuggester-family typeahead (reference
+      // /root/reference/src/Lucene.Net.Suggest/Suggest/Analyzing/AnalyzingSuggester.cs:90,
+      // FreeTextSuggester.cs): completions of an analyzed prefix ranked by
+      // weight (here ttf — corpus frequency, the FreeTextSuggester weight).
+      // A prefix scan over the SORTED termdict: StringStartsWith pushes to
+      // the parquet scan, so only the matching dictionary range is read —
+      // the FST-prefix-walk analog.
+      val idx = indexDir(s, d)
+      termdict(s, idx)
+        .filter(col("term").startsWith("pro"))
+        .select(col("term"), col("ttf").cast("long").as("weight"))
+        .orderBy(desc("weight"), asc("term"))
+        .limit(8)
+    }),
+    "ft_join_score" -> ((s, d) => {
+      // JoinUtil.CreateJoinQuery SCORE MODES (reference
+      // /root/reference/src/Lucene.Net.Join/JoinUtil.cs:29,
+      // TermsIncludingScoreQuery.cs): from-side 'dup' hit scores aggregate
+      // per join value (source) under Min/Max/Total/Avg, attached to the
+      // to-side (every doc of that source). Per-doc scores are quantized
+      // BEFORE aggregation so min/max/sum are integer ops (order-free);
+      // avg is one double divide of exact integers — deterministic.
+      val from = hits(s, d, Seq("dup"))
+        .groupBy("doc_id").agg(sum("s").as("sd"))
+        .select(col("doc_id"), q(col("sd")).as("sq"))
+        .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
+      val agg = from.groupBy("source")
+        .agg(min("sq").as("min_q"), max("sq").as("max_q"),
+          sum("sq").as("sum_q"), count(lit(1)).as("from_hits"))
+        .withColumn("avg_q",
+          floor(col("sum_q").cast("double") / col("from_hits") + 0.5).cast("long"))
+      docsTable(s, d).groupBy("source").agg(count(lit(1)).as("to_docs"))
+        .join(agg, "source")
+        .select(col("source"), col("to_docs"), col("min_q"), col("max_q"),
+          col("sum_q"), col("avg_q"), col("from_hits"))
+        .orderBy("source")
+    }),
     "ft_high_freq_terms" -> ((s, d) => {
       // HighFreqTerms (/root/reference/src/Lucene.Net.Misc/Misc/HighFreqTerms.cs):
       // top terms by document frequency from the term dictionary
@@ -657,19 +715,35 @@ object Gate {
     "pack_sequences" -> ((s, d) => {
       // Concat-and-chunk SEQUENCE PACKING (the standard LLM-pretraining
       // batching step): documents stream concatenated in stable doc_id
-      // order WITHIN each source shard; a context-window boundary falls
-      // every 2048 tokens and a doc belongs to the bin its first token
-      // lands in. Packing per shard keeps each window sort bounded to one
-      // shard at 100 TB (source x doc-range in production) instead of a
-      // global total order. Output: per-source bin stats + a bin-assignment
-      // checksum.
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val binned = docsTable(s, d)
+      // order WITHIN each source; a context-window boundary falls every
+      // 2048 tokens and a doc belongs to the bin its first token lands in.
+      // SHARDED two-level prefix sum so no single source ever serializes
+      // into one sort partition at 100 TB: (1) each source x doc-range
+      // shard computes its LOCAL running token sum, (2) a shard-count-sized
+      // offsets table (one row per 4096-doc shard) carries each shard's
+      // starting token offset via a per-source prefix sum, (3) carry +
+      // local = the global running sum, bit-identical to a single global
+      // window (the oracle computes exactly that). The offsets table is
+      // ~N/4096 rows — broadcast-sized into the add-back join.
+      val shardDocs = 4096L
+      val docs = docsTable(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("shard", floor(col("doc_id") / shardDocs).cast("long"))
+      val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = docs.withColumn("local_off",
+        coalesce(sum("tok").over(wLocal), lit(0L)))
+      val wCarry = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("source", "shard")
+        .agg(sum("tok").as("shard_toks"))
+        .withColumn("carry", coalesce(sum("shard_toks").over(wCarry), lit(0L)))
+        .select("source", "shard", "carry")
+      val binned = local
+        .join(broadcast(offsets), Seq("source", "shard"))
         .withColumn("bin",
-          floor(coalesce(sum("tok").over(w), lit(0L)) / lit(2048)).cast("long"))
+          floor((col("carry") + col("local_off")) / lit(2048)).cast("long"))
       binned.groupBy("source", "bin")
         .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
         .groupBy("source")

@@ -581,6 +581,26 @@ object GateOracle {
          |FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'spark')
          |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "ft_facet_tree" ->
+      s"""$prelude, base AS (
+         |  SELECT DISTINCT doc_id FROM tfs WHERE term = 'index'
+         |), j AS (
+         |  SELECT d.lang, d.source FROM documents d JOIN base USING (doc_id)
+         |), child AS (
+         |  SELECT lang, source, count(*) AS cnt FROM j GROUP BY lang, source
+         |), ranked AS (
+         |  SELECT lang || '/' || source AS path, cnt,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                                 ORDER BY cnt DESC, source) AS BIGINT) AS rn
+         |  FROM child
+         |)
+         |SELECT * FROM (
+         |  SELECT lang AS path, CAST(sum(cnt) AS BIGINT) AS cnt,
+         |         CAST(0 AS BIGINT) AS rn
+         |  FROM child GROUP BY lang
+         |  UNION ALL
+         |  SELECT path, cnt, rn FROM ranked WHERE rn <= 3
+         |) ORDER BY path, rn""".stripMargin,
     "ft_drill_sideways" ->
       s"""$prelude, base AS (
          |  SELECT DISTINCT doc_id FROM tfs WHERE term = 'data'
@@ -601,6 +621,11 @@ object GateOracle {
          |SELECT term, CAST(levenshtein(term, 'tabel') AS BIGINT) AS dist, df
          |FROM dfs WHERE levenshtein(term, 'tabel') <= 2
          |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+    "ft_suggest_prefix" ->
+      s"""$prelude
+         |SELECT term, ttf AS weight FROM dfs
+         |WHERE term LIKE 'pro%'
+         |ORDER BY weight DESC, term LIMIT 8""".stripMargin,
     "ft_highlight_multi" ->
       s"""$prelude, top AS (
          |  SELECT doc_id, ${qz("sum(s)")} AS score_q
@@ -624,6 +649,24 @@ object GateOracle {
          |  SELECT DISTINCT d.source FROM tfs t JOIN documents d USING (doc_id)
          |  WHERE t.term = 'dup')
          |GROUP BY d2.source ORDER BY source""".stripMargin,
+    "ft_join_score" ->
+      s"""$prelude, fromside AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS sq
+         |  FROM sc WHERE term = 'dup' GROUP BY doc_id
+         |), f AS (
+         |  SELECT d.source, fs.sq FROM fromside fs JOIN documents d USING (doc_id)
+         |), agg AS (
+         |  SELECT source, min(sq) AS min_q, max(sq) AS max_q,
+         |         CAST(sum(sq) AS BIGINT) AS sum_q, count(*) AS from_hits
+         |  FROM f GROUP BY source
+         |)
+         |SELECT a.source AS source, t.to_docs, a.min_q, a.max_q, a.sum_q,
+         |       CAST(floor(CAST(a.sum_q AS DOUBLE) / a.from_hits + 0.5) AS BIGINT) AS avg_q,
+         |       a.from_hits
+         |FROM agg a
+         |JOIN (SELECT source, count(*) AS to_docs FROM documents GROUP BY source) t
+         |  USING (source)
+         |ORDER BY source""".stripMargin,
     "ft_block_join" ->
       s"""$prelude, base AS (
          |  SELECT doc_id, ${qz("sum(s)")} AS score_q
