@@ -113,6 +113,64 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     else w.weightValue.toDouble * maxTf / (maxTf + c)
   }
 
+  /** Minimum estimated scan size (in posting blocks, summed over the query's
+    * present terms) before a theta-seed job runs. DEFAULT OFF (MaxValue):
+    * measured head-to-head at a 70k-conv corpus (24-query set, 2 runs), the
+    * seed changed NOTHING — 11529 skipped / 25069 scanned bit-identical with
+    * and without it, while costing one extra TakeOrdered job per armed
+    * query. Two structural reasons, both layout-inherent: (a) every scan
+    * partition is a range cut whose blocks stream IMPACT-ORDERED, so its
+    * local theta reaches the cut's ceiling after the first decoded block —
+    * the seed arrives at most one block early; (b) in disjunctions a block's
+    * bound carries the OTHER terms' global maxima as rest, which any sound
+    * single-clause theta (seeded or grown) can never exceed, so cross-term
+    * blocks are unskippable at block granularity regardless of theta. The
+    * mechanism stays available (set graft.wand.seedMinBlocks) for layouts
+    * whose streams are NOT impact-ordered — e.g. doc-ordered segment files —
+    * where per-cut self-seeding does not happen; WandSpec forces it on to
+    * pin rank/score identity either way.
+    */
+  private val seedMinBlocks: Long =
+    sys.props.get("graft.wand.seedMinBlocks").map(_.toLong).getOrElse(Long.MaxValue)
+
+  private def estBlocks(dict: Iterable[TermDictRow]): Long =
+    dict.iterator.map(d =>
+      (d.df + PostingCodec.BlockSize - 1) / PostingCodec.BlockSize).sum
+
+  /** Dictionary-seeded initial threshold theta_0: decode the seed term's few
+    * BEST impact-ordered blocks (one pushdown-pruned TakeOrdered job over
+    * that term's postings, top blocks by the same ub the skip test uses) and
+    * take the k-th best exact float32 clause score. Sound: those are >= k
+    * DISTINCT docs of one term, and every doc's final total is >= its own
+    * clause score (clauses are non-negative) — the per-term-heap argument,
+    * evaluated BEFORE the scan so every partition opens with a live
+    * threshold instead of growing one from -inf independently (the
+    * cross-partition gap is exactly where sub-global thetas under-skip).
+    * Returns -inf when the seed blocks hold fewer than k postings.
+    */
+  private def seedTheta(seedTid: Long, w: Bm25.TermWeight, k: Int): Double = {
+    val ubCol = col("max_tf").cast("double") /
+      (col("max_tf").cast("double") +
+        element_at(typedLit(w.cache.toSeq), col("max_nb") + 1).cast("double"))
+    val nBlocks = math.max(1, (k + PostingCodec.BlockSize - 1) / PostingCodec.BlockSize + 1)
+    val rows = postings
+      .filter(col("term_id") === seedTid)
+      .select(ScoreBlock.cols.map(col): _*)
+      .orderBy(ubCol.desc, col("first_doc").asc)
+      .limit(nBlocks)
+      .as[ScoreBlock].collect()
+    val scores = rows.iterator.flatMap { b =>
+      val (_, tfs, nbs) = PostingCodec.decode(b)
+      tfs.indices.iterator.map(i =>
+        Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i)))
+    }.toArray
+    if (scores.length < k) Double.NegativeInfinity
+    else {
+      java.util.Arrays.sort(scores)
+      scores(scores.length - k).toDouble
+    }
+  }
+
   /** Pruned single-MUST conjunction (`+m s1 s2 ...`, mm satisfied, no NOT).
     *
     * Soundness of theta here: the result set is EXACTLY docs(m) (the one
@@ -156,6 +214,11 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val bRest = spark.sparkContext.broadcast(restD)
     val kk = k
     val mId = mustId
+    // theta may only grow from MUST clause scores here (see scaladoc), so
+    // the seed reads the MUST term's best blocks
+    val theta0: Double =
+      if (estBlocks(dict.values) < seedMinBlocks) Double.NegativeInfinity
+      else seedTheta(mustId, weights(mustId), k)
 
     import graft.codec.ScoreSpanBlock
     val tiOf: Map[Long, Int] = ids.zipWithIndex.toMap // ids sorted asc
@@ -169,7 +232,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
         val w = bw.value
         val rest = bRest.value
         val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
-        var theta = Double.NegativeInfinity
+        var theta = theta0
         blocks.flatMap { b =>
           val tw = w(b.term_id)
           val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
@@ -371,6 +434,14 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val bRest = spark.sparkContext.broadcast(restD)
     val singleTerm = ids.size == 1
     val kk = k
+    // seed from the strongest term (largest global ub): its best blocks hold
+    // the highest clause scores available to any single term
+    val theta0: Double =
+      if (estBlocks(dict.values) < seedMinBlocks) Double.NegativeInfinity
+      else {
+        val tid = ids.maxBy(gmaxD)
+        seedTheta(tid, weights(tid), k)
+      }
 
     val combined =
       if (singleTerm) {
@@ -382,7 +453,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
           .mapPartitions { blocks =>
             val w = bw.value
             val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
-            var theta = Double.NegativeInfinity
+            var theta = theta0
             blocks.flatMap { b =>
               val tw = w(b.term_id)
               val bound = ubD(tw, b.max_tf, b.max_nb) * slack
@@ -422,7 +493,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
             val w = bw.value
             val rest = bRest.value
             val heaps = new scala.collection.mutable.HashMap[Long, java.util.PriorityQueue[java.lang.Float]]()
-            var theta = Double.NegativeInfinity
+            var theta = theta0
             blocks.flatMap { b =>
               val tw = w(b.term_id)
               val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack

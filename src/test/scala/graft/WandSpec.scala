@@ -147,6 +147,45 @@ class WandSpec extends AnyFunSuite {
     both(Query.Term("w001234"), k = 10000)
   }
 
+  test("dictionary-seeded theta: identity preserved with seeding forced on") {
+    // The seed job normally arms only on scans past seedMinBlocks; force it
+    // on for EVERY shape so the seeded threshold is exercised against the
+    // exhaustive oracle on this corpus (including the all-ties corpus where
+    // theta_0 equals every block's score and the strict skip must keep them).
+    val key = "graft.wand.seedMinBlocks"
+    val old = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val wd = new WandSearcher(spark, indexDir) // reads the prop at construction
+      def seededBoth(q: Query, k: Int = 10): Unit = {
+        val a = exhaustive.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        val b = wd.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        assert(a == b, s"seeded WAND diverged on $q\n exhaustive: $a\n wand: $b")
+      }
+      seededBoth(Query.Term("time"))
+      seededBoth(Query.Term("w001234"))
+      seededBoth(Query.Bool(should = Seq("time", "person")))
+      seededBoth(Query.Bool(should = Seq("time", "w001234")))
+      seededBoth(Query.Bool(should = Seq("year", "way", "day", "thing", "man")))
+      seededBoth(Query.Bool(must = Seq("time"), should = Seq("person")))
+      seededBoth(Query.Bool(must = Seq("w001234"), should = Seq("time", "person")))
+      seededBoth(Query.Term("w001234"), k = 10000) // seed under-fills: k > df
+      // all-ties corpus: theta_0 == every block bound modulo slack
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_wand_seed_ties").toString
+      val docs = (0L until 600L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+      IndexBuilder.build(docs, dir)
+      val ex2 = new Searcher(spark, dir)
+      val wd2 = new WandSearcher(spark, dir)
+      val q = Query.Bool(must = Seq("alpha"), should = Seq("beta"))
+      val a = ex2.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val b = wd2.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(a.nonEmpty && a == b)
+    } finally {
+      old match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
+
   test("tight score ties: every block bound equals theta, nothing lost") {
     // Adversarial corpus for the skip condition: every doc is identical
     // (tf=1, same length), so every posting scores exactly the same and every
