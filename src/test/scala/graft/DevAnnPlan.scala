@@ -13,7 +13,8 @@ object DevAnnPlan {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("ann_lsh" -> graft.gate.Gate.annLsh(spark, sfDir, 5),
-        "ann_ivf" -> graft.gate.Gate.annIvf(spark, sfDir, 5)).foreach {
+        "ann_ivf" -> graft.gate.Gate.annIvf(spark, sfDir, 5),
+        "ann_pq" -> graft.gate.Gate.annPq(spark, sfDir, 10)).foreach {
       case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         val pf = plan.linesIterator.filter(l =>
@@ -21,6 +22,8 @@ object DevAnnPlan {
         println(s"== $name ==")
         println(pf.take(800))
         println(s"[pruned: ${pf.contains("PartitionFilters: [") && !pf.contains("PartitionFilters: []")}]")
+        val scans = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+        println(scans.take(600))
     }
     spark.stop()
   }
