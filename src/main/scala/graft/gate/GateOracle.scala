@@ -626,6 +626,18 @@ object GateOracle {
          |SELECT term, ttf AS weight FROM dfs
          |WHERE term LIKE 'pro%'
          |ORDER BY weight DESC, term LIMIT 8""".stripMargin,
+    "ft_suggest_free" ->
+      s"""$prelude, big AS (
+         |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |)
+         |SELECT w2 AS next, count(*) AS cnt FROM big WHERE w1 = 'time'
+         |GROUP BY w2 ORDER BY cnt DESC, next LIMIT 8""".stripMargin,
+    "ft_suggest_fuzzy" ->
+      s"""$prelude
+         |SELECT term, ttf AS weight FROM dfs
+         |WHERE levenshtein(substring(term, 1, 3), 'pro') <= 1
+         |ORDER BY weight DESC, term LIMIT 8""".stripMargin,
     "ft_highlight_multi" ->
       s"""$prelude, top AS (
          |  SELECT doc_id, ${qz("sum(s)")} AS score_q
