@@ -1511,18 +1511,23 @@ object Gate {
 
   /** Deterministic coarse-quantizer centroids: the vectors of ids 1..nlist
     * (the "trained on a sample" stand-in; a production build k-means-trains
-    * them, the plumbing is identical).
+    * them, the plumbing is identical). Cached per (session, sf) — the
+    * centroid table is the quantizer MODEL, loaded once at serving start,
+    * not re-collected per query.
     */
-  private def ivfCentroids(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] = {
-    import spark.implicits._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val nlist = ivfNlist(emb.count())
-    emb.filter(r => r._1 >= 1 && r._1 <= nlist)
-      .collect().sortBy(_._1)
-      .map { case (id, e) => (id, e.map(_.toDouble)) }
-  }
+  private val centroids = scala.collection.concurrent.TrieMap[(Int, String), Array[(Long, Array[Double])]]()
+
+  private def ivfCentroids(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] =
+    centroids.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val nlist = ivfNlist(emb.count())
+      emb.filter(r => r._1 >= 1 && r._1 <= nlist)
+        .collect().sortBy(_._1)
+        .map { case (id, e) => (id, e.map(_.toDouble)) }
+    })
 
   /** WRITE-TIME IVF assignment: the embeddings table re-materialized with
     * each vector's L2-nearest list id as a PARTITION column (nlist ~ sqrt(N)
