@@ -620,6 +620,22 @@ object Gate {
         .orderBy(desc("cnt"), asc("next"))
         .limit(8)
     }),
+    "ft_suggest_jaro" -> ((s, d) => {
+      // JaroWinklerDistance spell ranking (reference
+      // Suggest/Spell/JaroWinklerDistance.cs:30): every dictionary term
+      // scored against the misspelling, top-5 by similarity. The Scala
+      // implementation (query.StringDistance) is double-bit-exact with
+      // DuckDB's jaro_winkler_similarity (0.7-threshold Winkler bonus), so
+      // the quantized scores hash-match.
+      import s.implicits._
+      val idx = indexDir(s, d)
+      termdict(s, idx).select(col("term")).as[String]
+        .map(t => (t, math.floor(
+          graft.query.StringDistance.jaroWinkler(t, "tabel") * 10000.0 + 0.5).toLong))
+        .toDF("term", "jw_q")
+        .orderBy(desc("jw_q"), asc("term"))
+        .limit(5)
+    }),
     "ft_suggest_fuzzy" -> ((s, d) => {
       // FuzzySuggester (reference Suggest/Analyzing/FuzzySuggester.cs:58):
       // typeahead tolerating 1 edit INSIDE the typed prefix — candidates

@@ -633,6 +633,11 @@ object GateOracle {
          |)
          |SELECT w2 AS next, count(*) AS cnt FROM big WHERE w1 = 'time'
          |GROUP BY w2 ORDER BY cnt DESC, next LIMIT 8""".stripMargin,
+    "ft_suggest_jaro" ->
+      s"""$prelude
+         |SELECT term,
+         |       CAST(floor(jaro_winkler_similarity(term, 'tabel') * 10000 + 0.5) AS BIGINT) AS jw_q
+         |FROM dfs ORDER BY jw_q DESC, term LIMIT 5""".stripMargin,
     "ft_suggest_fuzzy" ->
       s"""$prelude
          |SELECT term, ttf AS weight FROM dfs

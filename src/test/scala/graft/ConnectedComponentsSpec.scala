@@ -57,4 +57,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 3L), (7L, 2L)))
   }
+
+  test("empty edge list returns an empty frame, not an NPE") {
+    // a corpus with zero candidate pairs must flow through dedup_groups
+    // cleanly (regression: the label-sum aggregate returned null on an
+    // empty label table and compareTo threw)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val comp = ConnectedComponents.components(empty)
+    assert(comp.columns.toSeq == Seq("doc_id", "root"))
+    assert(comp.count() == 0)
+    assert(ConnectedComponents.groups(empty).count() == 0)
+  }
 }
