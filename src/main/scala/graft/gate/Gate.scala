@@ -37,13 +37,26 @@ object Gate {
     * relation is created — a catalog-registration cost a deployment pays
     * once, not per query — so the gates reuse one relation per (session,
     * store) and the bench warms it in the gate-build phase; the probe then
-    * pays only pruned reads. Keyed by session identity so a stopped test
-    * session never leaks a dead relation into the next one.
+    * pays only pruned reads. Keyed WEAKLY by the session object itself
+    * (SparkSession does not override equals, so WeakHashMap keys by
+    * identity): a stopped session's cached relations become collectable and
+    * can never be handed to a different session.
     */
-  private val relations = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  private val relations =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def sessionCache(spark: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
+    relations.synchronized {
+      var m = relations.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, DataFrame]()
+        relations.put(spark, m)
+      }
+      m
+    }
 
   private def cachedRelation(spark: SparkSession, key: String, dir: => String): DataFrame =
-    relations.getOrElseUpdate((System.identityHashCode(spark), key), {
+    sessionCache(spark).getOrElseUpdate(key, {
       val df = spark.read.parquet(dir)
       df.schema // force analysis -> partition discovery happens HERE
       df
@@ -1529,12 +1542,23 @@ object Gate {
     * (the "trained on a sample" stand-in; a production build k-means-trains
     * them, the plumbing is identical). Cached per (session, sf) — the
     * centroid table is the quantizer MODEL, loaded once at serving start,
-    * not re-collected per query.
+    * not re-collected per query (weakly keyed like [[sessionCache]]).
     */
-  private val centroids = scala.collection.concurrent.TrieMap[(Int, String), Array[(Long, Array[Double])]]()
+  private val centroids =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Double])]]]()
+
+  private def centroidCache(spark: SparkSession): scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Double])]] =
+    centroids.synchronized {
+      var m = centroids.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Double])]]()
+        centroids.put(spark, m)
+      }
+      m
+    }
 
   private def ivfCentroids(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] =
-    centroids.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    centroidCache(spark).getOrElseUpdate(sfDir, {
       import spark.implicits._
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))

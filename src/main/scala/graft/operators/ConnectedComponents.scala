@@ -85,12 +85,17 @@ object ConnectedComponents {
       prev = cur
       rounds += 1
     }
+    sym.unpersist()
     // maxRounds is a safety valve, not an answer: labels that never went
     // stationary are possibly wrong (split components), so fail loudly
-    require(converged,
-      s"label propagation did not converge in $maxRounds rounds " +
-        "(adversarial chain graph? raise maxRounds or checkpoint labels)")
-    sym.unpersist()
+    // (after releasing the cached edge table — a retrying caller must not
+    // accumulate leaked persists)
+    if (!converged) {
+      lab.unpersist()
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds " +
+          "(adversarial chain graph? raise maxRounds or checkpoint labels)")
+    }
     lab.select(col("v").as("doc_id"), col("l").as("root"))
   }
 

@@ -164,7 +164,7 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       tfs.indices.iterator.map(i =>
         Bm25.score(w.weightValue, tfs(i).toFloat, w.cache, nbs(i)))
     }.toArray
-    if (scores.length < k) Double.NegativeInfinity
+    if (k <= 0 || scores.length < k) Double.NegativeInfinity
     else {
       java.util.Arrays.sort(scores)
       scores(scores.length - k).toDouble

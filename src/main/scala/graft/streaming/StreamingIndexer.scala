@@ -236,7 +236,11 @@ object StreamingIndexer {
     val tombDf: Option[DataFrame] =
       if (snap.tombs.isEmpty) None
       else Some(snap.tombs.map(t => spark.read.parquet(t)).reduce(_ unionByName _)
-        .select("doc_id").distinct())
+        .select("doc_id").distinct()
+        // persisted: the distinct set feeds the size probe below plus up to
+        // three anti-joins (runs purge, norms, docmap) — without it each
+        // consumer recomputes the union+distinct shuffle
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tombCount = tombDf.map(_.count()).getOrElse(0L)
     val tombSet =
       if (tombCount > broadcastTombMax) None
@@ -306,6 +310,7 @@ object StreamingIndexer {
     manifest.commit("docmap", -1L, 0L, Some(s"$newBase/docmap"))
     manifest.commit("runs", -1L, 0L, Some(s"$newBase/runs"))
     manifest.commit("norms", -1L, 0L, Some(s"$newBase/norms"))
+    tombDf.foreach(_.unpersist(blocking = false))
     IndexBuilder.buildFromRuns(newBase, IndexBuilder.Options())
     log.commit(snap.maxDoc, Some(newBase), Nil)
   }

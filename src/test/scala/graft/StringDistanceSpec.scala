@@ -34,10 +34,13 @@ class StringDistanceSpec extends AnyFunSuite {
       assert(StringDistance.jaroWinkler(a, b) >= StringDistance.jaro(a, b))
     }
     // below the 0.7 threshold the Winkler bonus must NOT apply even with a
-    // shared prefix (the rule DuckDB and the reference both implement)
+    // shared prefix (the rule DuckDB and the reference both implement):
+    // jaro("abcdef","abzzzzzzzzzz") = (2/6 + 2/12 + 2/2)/3 = 0.5 exactly
+    val low = StringDistance.jaro("abcdef", "abzzzzzzzzzz")
+    assert(low == 0.5)
+    assert(StringDistance.jaroWinkler("abcdef", "abzzzzzzzzzz") == low)
+    // and just above it the bonus applies
     val j = StringDistance.jaro("dwayne", "duane")
-    assert(j > 0.7) // sanity: this pair is above threshold
-    val low = StringDistance.jaro("ab", "abcdefghijklmnop")
-    if (low <= 0.7) assert(StringDistance.jaroWinkler("ab", "abcdefghijklmnop") == low)
+    assert(j > 0.7 && StringDistance.jaroWinkler("dwayne", "duane") > j)
   }
 }
