@@ -148,6 +148,36 @@ object Gate {
       dir
     })
 
+  /** Sharded two-level prefix-sum bin assignment for sequence packing:
+    * input (doc_id, source, tok) -> + (bin). Level 1 computes each
+    * source x `shardDocs`-doc-range shard's LOCAL running token sum;
+    * level 2 builds a shard-count-sized offsets table (per-source prefix
+    * sum over shard totals) broadcast into the add-back join. carry +
+    * local = the global running sum, BIT-IDENTICAL to one global
+    * per-source window (PackBinsSpec pins the equality on adversarial
+    * shapes), but no source ever serializes into a single sort partition.
+    */
+  def packBins(docs: DataFrame, shardDocs: Long = 4096L,
+               window: Long = 2048L): DataFrame = {
+    val sharded = docs
+      .withColumn("shard", floor(col("doc_id") / shardDocs).cast("long"))
+    val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("local_off",
+      coalesce(sum("tok").over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("source", "shard")
+      .agg(sum("tok").as("shard_toks"))
+      .withColumn("carry", coalesce(sum("shard_toks").over(wCarry), lit(0L)))
+      .select("source", "shard", "carry")
+    local
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("bin",
+        floor((col("carry") + col("local_off")) / lit(window)).cast("long"))
+      .drop("shard", "local_off", "carry")
+  }
+
   /** Bigram language-model table for FreeTextSuggester-style typeahead
     * (reference /root/reference/src/Lucene.Net.Suggest/Suggest/Analyzing/
     * FreeTextSuggester.cs — an n-gram LM built ONCE over the corpus, looked
@@ -833,26 +863,10 @@ object Gate {
       // local = the global running sum, bit-identical to a single global
       // window (the oracle computes exactly that). The offsets table is
       // ~N/4096 rows — broadcast-sized into the add-back join.
-      val shardDocs = 4096L
       val docs = docsTable(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("tok"))
-        .withColumn("shard", floor(col("doc_id") / shardDocs).cast("long"))
-      val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val local = docs.withColumn("local_off",
-        coalesce(sum("tok").over(wLocal), lit(0L)))
-      val wCarry = Window.partitionBy("source").orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy("source", "shard")
-        .agg(sum("tok").as("shard_toks"))
-        .withColumn("carry", coalesce(sum("shard_toks").over(wCarry), lit(0L)))
-        .select("source", "shard", "carry")
-      val binned = local
-        .join(broadcast(offsets), Seq("source", "shard"))
-        .withColumn("bin",
-          floor((col("carry") + col("local_off")) / lit(2048)).cast("long"))
-      binned.groupBy("source", "bin")
+      packBins(docs).groupBy("source", "bin")
         .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
         .groupBy("source")
         .agg(count(lit(1)).as("bins"), max("docs").as("max_docs"),
