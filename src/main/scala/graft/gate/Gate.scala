@@ -663,6 +663,50 @@ object Gate {
         .orderBy(desc("cnt"), asc("next"))
         .limit(8)
     }),
+    "ft_explain" -> ((s, d) => {
+      // IndexSearcher.Explain (reference
+      // /root/reference/src/Lucene.Net/Search/IndexSearcher.cs Explain +
+      // BM25Similarity.ExplainScore): the per-clause score BREAKDOWN for
+      // the top-1 doc of a 2-term disjunction, decomposed exactly as the
+      // reference renders it — idf(docFreq, maxDocs) and
+      // tfNorm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+      // idf * tfNorm = the clause score.
+      import s.implicits._
+      val qTerms = Seq("table", "value")
+      val idx = indexDir(s, d)
+      val st = stats(s, idx)
+      val n = st.max_doc
+      val avgdl = st.sum_ttf.toDouble / n
+      val dict = termdict(s, idx)
+        .filter(col("term").isin(qTerms: _*))
+        .as[graft.model.TermDictRow].collect()
+      val info: Map[Long, (String, Long)] = dict.map(d0 => d0.term_id -> (d0.term, d0.df)).toMap
+      val bi = s.sparkContext.broadcast(info)
+      val parts = s.read.parquet(s"$idx/postings")
+        .filter(col("term_id").isin(info.keySet.toSeq: _*))
+        .select(ScoreBlock.cols.map(col): _*)
+        .as[ScoreBlock]
+        .flatMap { b =>
+          val (docs, tfs, nbs) = PostingCodec.decode(b)
+          val (term, df) = bi.value(b.term_id)
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          docs.indices.iterator.map { i =>
+            val nb = nbs(i) & 0xff
+            val tfNorm = 2.2 * tfs(i) / (tfs(i) + 1.2 * (0.25 + 0.75 * normValue(nb) / avgdl))
+            (docs(i), term, tfs(i).toLong, df, nb.toLong,
+              idf, tfNorm, hitScore(tfs(i), nb, idf2(df, n), avgdl))
+          }
+        }
+        .toDF("doc_id", "term", "tf", "df", "nb", "idf", "tfnorm", "sc")
+      val top1 = parts.groupBy("doc_id").agg(sum("sc").as("sd"))
+        .select(col("doc_id"), q(col("sd")).as("total_q"))
+        .orderBy(desc("total_q"), asc("doc_id")).limit(1)
+      parts.join(top1, "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("nb"),
+          q(col("idf")).as("idf_q"), q(col("tfnorm")).as("tfnorm_q"),
+          q(col("sc")).as("clause_q"), col("total_q"))
+        .orderBy("term")
+    }),
     "ft_suggest_jaro" -> ((s, d) => {
       // JaroWinklerDistance spell ranking (reference
       // Suggest/Spell/JaroWinklerDistance.cs:30): every dictionary term

@@ -633,6 +633,25 @@ object GateOracle {
          |)
          |SELECT w2 AS next, count(*) AS cnt FROM big WHERE w1 = 'time'
          |GROUP BY w2 ORDER BY cnt DESC, next LIMIT 8""".stripMargin,
+    "ft_explain" ->
+      s"""$prelude, parts AS (
+         |  SELECT t.doc_id, t.term, t.tf, d.df, r.nb,
+         |         ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         |         2.2 * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl)) AS tfnorm,
+         |         ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+         |           / (t.tf + 1.2 * (0.25 + 0.75 * r.nv / $avgdl)) AS sc0
+         |  FROM tfs t JOIN dfs d USING (term) JOIN nrm r USING (doc_id) CROSS JOIN st
+         |  WHERE t.term IN ('table', 'value')
+         |), top1 AS (
+         |  SELECT doc_id, ${qz("sum(sc0)")} AS total_q FROM parts GROUP BY doc_id
+         |  ORDER BY total_q DESC, doc_id LIMIT 1
+         |)
+         |SELECT p.doc_id, p.term, CAST(p.tf AS BIGINT) AS tf, p.df,
+         |       CAST(p.nb AS BIGINT) AS nb,
+         |       ${qz("p.idf")} AS idf_q, ${qz("p.tfnorm")} AS tfnorm_q,
+         |       ${qz("p.sc0")} AS clause_q, t.total_q
+         |FROM parts p JOIN top1 t USING (doc_id)
+         |ORDER BY term""".stripMargin,
     "ft_suggest_jaro" ->
       s"""$prelude
          |SELECT term,
