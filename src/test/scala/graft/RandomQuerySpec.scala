@@ -97,4 +97,42 @@ class RandomQuerySpec extends AnyFunSuite {
     }
     assert(nonEmpty > 25, s"only $nonEmpty random boolean shapes matched docs")
   }
+
+  test("40 random shapes with the dictionary theta seed forced on: still bit-identical") {
+    // the seed path is default-off (see WandSearcher scaladoc); force it so
+    // random shapes fuzz the seeded pruning against the exhaustive oracle
+    val key = "graft.wand.seedMinBlocks"
+    val old = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val dir = Files.createTempDirectory("graft_rand_seed").toString
+      IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 150), dir)
+      val exhaustive = new Searcher(spark, dir)
+      val wand = new graft.query.WandSearcher(spark, dir)
+      val rnd = new Random(20260819L)
+      val vocab = Vector("time", "person", "year", "way", "day", "spark", "index",
+        "search", "query", "merge", "table", "fast", "slow", "w000123", "zzznope")
+      def pick(n: Int): Seq[String] = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct
+      var nonEmpty = 0
+      (1 to 40).foreach { i =>
+        val must = pick(rnd.nextInt(3))
+        val should = pick(rnd.nextInt(4))
+        val not = if (rnd.nextInt(3) == 0) pick(1) else Nil
+        val mm = if (should.nonEmpty && rnd.nextInt(3) == 0)
+          1 + rnd.nextInt(should.size) else 0
+        if (must.nonEmpty || should.nonEmpty) {
+          val q = Query.Bool(must, should, not, mm)
+          val a = exhaustive.search(q, 10).collect()
+            .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+          val b = wand.search(q, 10).collect()
+            .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+          assert(a == b, s"query $i: seeded WAND diverged on $q\n exhaustive: $a\n wand: $b")
+          if (a.nonEmpty) nonEmpty += 1
+        }
+      }
+      assert(nonEmpty > 12, s"only $nonEmpty random seeded shapes matched docs")
+    } finally {
+      old match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
+    }
+  }
 }
