@@ -37,13 +37,16 @@ object Gate {
     * relation is created — a catalog-registration cost a deployment pays
     * once, not per query — so the gates reuse one relation per (session,
     * store) and the bench warms it in the gate-build phase; the probe then
-    * pays only pruned reads. Keyed WEAKLY by the session object itself
-    * (SparkSession does not override equals, so WeakHashMap keys by
-    * identity): a stopped session's cached relations become collectable and
-    * can never be handed to a different session.
+    * pays only pruned reads. Keyed by session identity (SparkSession does
+    * not override equals) so a cached relation is never handed to a
+    * different session; weak keying alone would NOT reclaim anything (the
+    * cached DataFrames strongly reference their session through
+    * queryExecution), so eviction is explicit — a listener registered at
+    * cache creation drops the whole per-session map when that session's
+    * SparkContext ends.
     */
   private val relations =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   private def sessionCache(spark: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
     relations.synchronized {
@@ -51,10 +54,20 @@ object Gate {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap[String, DataFrame]()
         relations.put(spark, m)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            relations.synchronized { relations.remove(spark): Unit }
+        })
       }
       m
     }
 
+  /** INVARIANT: the cached relation snapshots the file listing at first use,
+    * so every directory cached here must be WRITE-ONCE within a session (all
+    * gate/ANN stores are: built once behind [[built]]/manifests, never
+    * overwritten). Rewriting a cached dir would serve a stale file list.
+    */
   private def cachedRelation(spark: SparkSession, key: String, dir: => String): DataFrame =
     sessionCache(spark).getOrElseUpdate(key, {
       val df = spark.read.parquet(dir)
@@ -334,6 +347,34 @@ object Gate {
   // --------------------------- the query map -------------------------------
 
   /** All driver-facing queries. Names map 1:1 to [[GateOracle.sql]]. */
+  /** (word, expected primary, expected alternate) — every 30th row of the
+    * reference's DoubleMetaphone2Test surname vectors (see
+    * src/test/resources/double_metaphone_vectors.tsv). The ENGINE only reads
+    * the words; the expected keys feed the DuckDB oracle VALUES table.
+    */
+  val metaphoneSlate: Seq[(String, String, String)] = Seq(
+    ("Alan", "ALN", "ALN"), ("Bachelour", "PXLR", "PKLR"),
+    ("Benjamin", "PNJM", "PNJM"), ("Bodine", "PTN", "PTN"),
+    ("Bruley", "PRL", "PRL"), ("Chambers", "XMPR", "XMPR"),
+    ("Coleman", "KLMN", "KLMN"), ("Cutha", "K0", "KT"),
+    ("Donahue", "TNH", "TNH"), ("Ellot", "ALT", "ALT"),
+    ("Foulke", "FLK", "FLK"), ("Gater", "KTR", "KTR"),
+    ("Guba", "KP", "KP"), ("Heald", "HLT", "HLT"),
+    ("Houstin", "HSTN", "HSTN"), ("Jewitt", "JT", "AT"),
+    ("La Pointe", "LPNT", "LPNT"), ("Levine", "LFN", "LFN"),
+    ("MacKenneth", "MKN0", "MKNT"), ("McAllaster", "MKLS", "MKLS"),
+    ("Mullins", "MLNS", "MLNS"), ("Page", "PJ", "PK"),
+    ("Pickard", "PKRT", "PKRT"), ("Purdy", "PRT", "PRT"),
+    ("Ruth", "R0", "RT"), ("Sherman", "XRMN", "XRMN"),
+    ("Sperry", "SPR", "SPR"), ("Stout", "STT", "STT"),
+    ("Throckmorton", "0RKM", "TRKM"), ("Ua Tuathail", "AT0L", "ATTL"),
+    ("Wayne", "AN", "FN"), ("Wing", "ANK", "FNK"),
+    ("de Braiose", "TPRS", "TPRS"), ("de Montault", "TMNT", "TMNT"),
+    ("de Vexin", "TFKS", "TFKS"), ("of Bavaria", "AFPF", "AFPF"),
+    ("of Meulan", "AFML", "AFML"), ("ORCHID", "ARKT", "ARKT"),
+    ("bough", "P", "P"), ("hunger", "HNKR", "HNJR"),
+    ("svobodka", "SFPT", "SFPT"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- index validation (termdict / norms / stats / postings content) ----
     "ft_termdict" -> ((s, d) => {
@@ -601,6 +642,30 @@ object Gate {
         .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"), col("score_q"))
         .orderBy("source", "rn")
     }),
+    "ft_group_distinct" -> ((s, d) =>
+      // AbstractDistinctValuesCollector (reference /root/reference/src/
+      // Lucene.Net.Grouping/AbstractDistinctValuesCollector.cs:25): per group
+      // (source), the DISTINCT values of a second field (lang) over a query's
+      // hits. One hash-partitioned groupBy; collect_set state is bounded by
+      // the value-field cardinality, never the hit count — safe at any scale.
+      hits(s, d, Seq("data")).select("doc_id").distinct()
+        .join(docsTable(s, d).select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("lang")).as("n_langs"),
+          concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"))
+        .orderBy("source")),
+    "ft_group_facet" -> ((s, d) =>
+      // AbstractGroupFacetCollector (reference /root/reference/src/
+      // Lucene.Net.Grouping/AbstractGroupFacetCollector.cs:30): facet counts
+      // de-duplicated per GROUP — for each facet value (lang), how many
+      // distinct groups (source) and how many hit docs carry it.
+      hits(s, d, Seq("data")).select("doc_id").distinct()
+        .join(docsTable(s, d).select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(countDistinct(col("source")).as("n_groups"),
+          count(lit(1)).as("doc_cnt"))
+        .orderBy("lang")),
     "ft_sort_field" -> ((s, d) =>
       // TopFieldCollector: top-k by a stored field, not by score
       // (/root/reference/src/Lucene.Net/Search/TopFieldCollector.cs:37;
@@ -935,6 +1000,25 @@ object Gate {
           sum(when(keep, 1).otherwise(0)).as("sampled"),
           sum(when(keep, col("doc_id")).otherwise(0L)).as("id_checksum"))
         .orderBy("lang")
+    }),
+    "text_metaphone" -> ((s, d) => {
+      // DoubleMetaphone encoder (reference /root/reference/src/
+      // Lucene.Net.Analysis.Phonetic/Language/DoubleMetaphone.cs via
+      // DoubleMetaphoneFilter.cs): the engine encodes a fixed slate of 41
+      // reference surnames DISTRIBUTED (mapPartitions shape — one encoder per
+      // partition); the oracle carries the reference test suite's expected
+      // (primary, alternate) keys verbatim, so any rule drift in the encoder
+      // hash-fails. Full 1221-vector coverage lives in PhoneticSpec.
+      import s.implicits._
+      s.createDataset(metaphoneSlate.map(_._1)).repartition(4)
+        .mapPartitions { it =>
+          it.map { w =>
+            val (p, a) = graft.analysis.DoubleMetaphone.encode(w)
+            (w, p, a)
+          }
+        }
+        .toDF("word", "dm_primary", "dm_alternate")
+        .orderBy("word")
     }),
     "text_soundex" -> ((s, d) => {
       // Phonetic key clustering over the term dictionary: top soundex

@@ -569,6 +569,19 @@ object GateOracle {
          |                            ORDER BY b.score_q DESC, b.doc_id) AS rn
          |  FROM base b JOIN documents d USING (doc_id)
          |) WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "ft_group_distinct" ->
+      s"""$prelude, base AS (SELECT DISTINCT doc_id FROM tfs WHERE term = 'data')
+         |SELECT d.source AS source, count(*) AS cnt,
+         |       count(DISTINCT d.lang) AS n_langs,
+         |       array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs
+         |FROM documents d JOIN base USING (doc_id)
+         |GROUP BY d.source ORDER BY source""".stripMargin,
+    "ft_group_facet" ->
+      s"""$prelude, base AS (SELECT DISTINCT doc_id FROM tfs WHERE term = 'data')
+         |SELECT d.lang AS lang, count(DISTINCT d.source) AS n_groups,
+         |       count(*) AS doc_cnt
+         |FROM documents d JOIN base USING (doc_id)
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
     "ft_sort_field" ->
       s"""$prelude
          |SELECT d.doc_id, d.n_chars FROM documents d
@@ -881,6 +894,18 @@ object GateOracle {
         |            WHEN lang = 'fr' THEN '8000' ELSE 'g' END) AS keep
         |  FROM documents
         |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_metaphone" -> {
+      // expected keys come straight from the reference's DoubleMetaphone2Test
+      // vectors (the slate is shared with the engine gate, which reads only
+      // the words and must re-derive the keys)
+      val rows = Gate.metaphoneSlate
+        .map { case (w, p, a) => s"('$w', '$p', '$a')" }
+        .mkString(",\n|       ")
+      s"""SELECT * FROM (VALUES
+         |       $rows
+         |) AS t(word, dm_primary, dm_alternate)
+         |ORDER BY word""".stripMargin
+    },
     "text_soundex" ->
       s"""$prelude, sdx AS (
          |  SELECT term, df, CASE WHEN u = '' THEN '' ELSE

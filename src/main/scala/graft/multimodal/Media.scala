@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata extracted by
   * per-partition batch transforms.
   *
-  * The DECODE step is a STUB — real codec libraries are not available in
-  * this environment, so [[decodeStub]] derives deterministic fake media
-  * properties from the bytes. Everything around it is real and tested: the
-  * schema contract, the mapPartitions batch shape (one decoder instance per
-  * partition, streaming over rows — the same shape a Pandas-UDF/mapInPandas
-  * or JNI decoder needs), frame sampling, and checksum bookkeeping.
+  * IMAGE decode is REAL: container sniffing by magic bytes plus a
+  * header-only dimension read through the JDK's own `javax.imageio` (the
+  * reader parses just the image header — IHDR / SOF / logical screen
+  * descriptor — never the pixel payload, which is what makes per-row decode
+  * viable over billions of images). Audio/video decode remains a
+  * deterministic STUB behind the same seam ([[decodeStub]]) — those codecs
+  * are not in the JDK; a JNI/FFmpeg decoder slots into [[decode]] with the
+  * same (bytes in, typed meta out) contract.
   */
 object Media {
 
@@ -20,15 +22,54 @@ object Media {
   final case class MediaMeta(
       doc_id: Long,
       byte_len: Long,
-      kind: String,   // sniffed container kind
-      width: Int,     // fake-decoded dimensions (stub)
+      kind: String,   // sniffed container kind ("png","jpeg","gif","bmp",stub kinds)
+      width: Int,     // real header-decoded dimensions for images; stub otherwise
       height: Int,
       checksum: String)
 
-  /** Deterministic fake decode: sniffs a "container" from the leading byte
-    * and derives dimensions from stable byte statistics. Replace with a real
-    * codec at deployment; the signature (bytes in, typed meta out, no Spark
-    * types) is the real contract.
+  /** Sniff an image container from its magic bytes. */
+  def sniffImage(bytes: Array[Byte]): Option[String] = {
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+      Some("png")
+    else if (bytes.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)
+      Some("jpeg")
+    else if (bytes.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("gif")
+    else if (bytes.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      Some("bmp")
+    else None
+  }
+
+  /** Real header-only dimension decode for a sniffed image container.
+    * Returns None for non-images or corrupt headers (callers fall back to
+    * the stub) — a malformed row must never fail the batch.
+    */
+  def imageDims(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    sniffImage(bytes).flatMap { kind =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((kind, r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deterministic fake decode for the containers the JDK cannot parse
+    * (audio/video/unknown): sniffs a "container" from the leading byte and
+    * derives dimensions from stable byte statistics. The signature (bytes
+    * in, typed meta out, no Spark types) is the deployment contract a real
+    * codec drops into.
     */
   def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
     if (bytes.isEmpty) return ("empty", 0, 0)
@@ -46,6 +87,13 @@ object Media {
     (kind, width, height)
   }
 
+  /** Full decode seam: real image header decode where the JDK can, stub
+    * elsewhere. Total — never throws on malformed bytes.
+    */
+  def decode(bytes: Array[Byte]): (String, Int, Int) =
+    if (bytes.isEmpty) ("empty", 0, 0)
+    else imageDims(bytes).getOrElse(decodeStub(bytes))
+
   /** Extract typed metadata for every row of (idCol: long, binCol: binary).
     * One decoder context per partition, streaming over the batch — the
     * correct distribution shape for an expensive stateful decoder.
@@ -56,10 +104,10 @@ object Media {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // a real implementation initializes its codec ONCE here
+        // a real implementation initializes heavier codecs ONCE here
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.emptyByteArray else bytes
-          val (kind, w, h) = decodeStub(b)
+          val (kind, w, h) = decode(b)
           MediaMeta(id, b.length.toLong, kind, w, h,
             org.apache.commons.codec.digest.DigestUtils.md5Hex(b))
         }

@@ -374,3 +374,42 @@ final case class LMDirichletSimilarity(mu: Float = 2000f) extends Similarity {
     }
   }
 }
+
+/** Sum-combined similarity (MultiSimilarity,
+  * /root/reference/src/Lucene.Net/Search/Similarities/MultiSimilarity.cs:38,
+  * MultiSimScorer.Score sums the sub-scorers): each wrapped Similarity binds
+  * its own per-term weight once, every posting scores through all of them
+  * and the float sums fold left-to-right in constructor order.
+  */
+final case class MultiSimilarity(sims: Seq[Similarity]) extends Similarity {
+  require(sims.nonEmpty, "MultiSimilarity needs at least one sub-similarity")
+  override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                          boost: Float): Similarity.TermScorer = {
+    val subs: Array[Similarity.TermScorer] =
+      sims.map(_.termScorer(df, ttf, stats, boost)).toArray
+    (tf: Float, nb: Byte) => {
+      var s = 0.0f
+      var i = 0
+      while (i < subs.length) { s += subs(i).score(tf, nb); i += 1 }
+      s
+    }
+  }
+}
+
+/** Per-field similarity routing (PerFieldSimilarityWrapper,
+  * /root/reference/src/Lucene.Net/Search/Similarities/PerFieldSimilarityWrapper.cs:31,63):
+  * `get(field)` picks the Similarity whose scorer serves that field's
+  * postings. The engine indexes one text field today, so the trait's
+  * single-field entry point routes through [[defaultField]]; a multi-field
+  * index resolves `forField` per queried field at weight-bind time.
+  */
+abstract class PerFieldSimilarityWrapper extends Similarity {
+  def get(field: String): Similarity
+  def defaultField: String = "text"
+  final def forField(field: String, df: Long, ttf: Long, stats: CollectionStats,
+                     boost: Float): Similarity.TermScorer =
+    get(field).termScorer(df, ttf, stats, boost)
+  final override def termScorer(df: Long, ttf: Long, stats: CollectionStats,
+                                boost: Float): Similarity.TermScorer =
+    forField(defaultField, df, ttf, stats, boost)
+}

@@ -33,6 +33,35 @@ class MediaSpec extends AnyFunSuite {
       org.apache.commons.codec.digest.DigestUtils.md5Hex("hello world".getBytes("UTF-8")))
   }
 
+  test("real image decode: PNG and JPEG dimensions from encoded bytes") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode("png", 37, 21)
+    val jpg = encode("jpg", 64, 48)
+    assert(Media.sniffImage(png).contains("png"))
+    assert(Media.sniffImage(jpg).contains("jpeg"))
+    assert(Media.decode(png) == ("png", 37, 21))
+    assert(Media.decode(jpg) == ("jpeg", 64, 48))
+    // corrupt header: sniffs as png but the reader fails -> stub, no throw
+    val corrupt = png.take(12) ++ Array.fill[Byte](4)(0x7f)
+    val (k, cw, ch) = Media.decode(corrupt)
+    assert(cw >= 0 && ch >= 0 && k.nonEmpty)
+    // end-to-end through the Spark batch path
+    val df = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val meta = Media.extractMeta(df, "doc_id", "media").collect().sortBy(_.doc_id)
+    assert(meta(0).kind == "png" && meta(0).width == 37 && meta(0).height == 21)
+    assert(meta(1).kind == "jpeg" && meta(1).width == 64 && meta(1).height == 48)
+    assert(meta(2).width >= 16) // stub fallback for non-image bytes
+  }
+
   test("sampleFrames: offsets, bounds, count cap") {
     val bytes = Array.tabulate(100)(_.toByte)
     val frames = Media.sampleFrames(bytes, frameSize = 8, stride = 32, n = 5)

@@ -27,6 +27,30 @@ class PhoneticSpec extends AnyFunSuite {
     assert(TokenFilters.soundex("") == "")
   }
 
+  test("double metaphone: all 1221 reference surname vectors (primary+alternate)") {
+    // Vector set extracted from the reference's own test data
+    // (Lucene.Net.Tests.Analysis.Phonetic/Language/DoubleMetaphone2Test.cs,
+    // originally Stephen Woodbridge's surnames.txt): word, primary, alternate.
+    val in = getClass.getResourceAsStream("/double_metaphone_vectors.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    assert(lines.size >= 1200)
+    val bad = lines.flatMap { l =>
+      val Array(w, p, a) = l.split('\t')
+      val (gp, ga) = graft.analysis.DoubleMetaphone.encode(w)
+      if (gp == p && ga == a) None else Some(s"$w: got ($gp,$ga) want ($p,$a)")
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches, first 20:\n${bad.take(20).mkString("\n")}")
+  }
+
+  test("double metaphone: edge inputs") {
+    assert(graft.analysis.DoubleMetaphone.encode("") == ("", ""))
+    assert(graft.analysis.DoubleMetaphone.encode("   ") == ("", ""))
+    assert(graft.analysis.DoubleMetaphone.encode(null) == ("", ""))
+    // lowercase input equals uppercase input
+    assert(graft.analysis.DoubleMetaphone.encode("smith") ==
+      graft.analysis.DoubleMetaphone.encode("SMITH"))
+  }
+
   test("phonetic filter: inject vs replace") {
     val terms = Array("robert", "3.14")
     assert(TokenFilters.phonetic(terms, inject = true).toSeq ==

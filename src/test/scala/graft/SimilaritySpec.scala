@@ -172,6 +172,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spl.score(4f, nb) > spl.score(2f, nb))
   }
 
+  test("MultiSimilarity sums its sub-scorers (MultiSimilarity.cs:38)") {
+    val m = graft.score.MultiSimilarity(Seq(Bm25Similarity, ClassicSimilarity))
+      .termScorer(df = 7, ttf = 20, stats, boost = 1.0f)
+    val a = Bm25Similarity.termScorer(7, 20, stats, 1.0f)
+    val b = ClassicSimilarity.termScorer(7, 20, stats, 1.0f)
+    for (tf <- Seq(1f, 2f, 5f); nb <- Seq(0x40.toByte, 0x7f.toByte))
+      assert(m.score(tf, nb) == a.score(tf, nb) + b.score(tf, nb))
+  }
+
   test("alternate similarities: distributed engine == oracle on a real index") {
     val dir = Files.createTempDirectory("graft_sim").toString
     IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 120), dir)
@@ -186,7 +195,14 @@ class SimilaritySpec extends AnyFunSuite {
       DFRSimilarity(DfrBasicModel.Ine, DfrAfterEffect.B, DfrNormalization.H3()),
       DFRSimilarity(DfrBasicModel.P, DfrAfterEffect.L, DfrNormalization.H2()),
       IBSimilarity(IbDistribution.SPL, IbLambda.TTF, DfrNormalization.H2()),
-      IBSimilarity(IbDistribution.LL, IbLambda.TTF, DfrNormalization.Z()))) {
+      IBSimilarity(IbDistribution.LL, IbLambda.TTF, DfrNormalization.Z()),
+      // combined + per-field routed (MultiSimilarity.cs, PerFieldSimilarityWrapper.cs)
+      graft.score.MultiSimilarity(Seq(Bm25Similarity, ClassicSimilarity)),
+      new graft.score.PerFieldSimilarityWrapper {
+        override def get(field: String) =
+          if (field == "text") LMDirichletSimilarity() else Bm25Similarity
+        override def toString = "PerFieldWrapper(text->LMDirichlet)"
+      })) {
       val searcher = new Searcher(spark, dir, sim)
       val oracle = new BruteForce(turns, sim)
       for (q <- Seq(Query.Term("time"), Query.parse("time person"),
