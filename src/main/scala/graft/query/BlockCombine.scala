@@ -176,17 +176,22 @@ object BlockCombine {
     * measured ~30% slower by serializing read and decode), plus three
     * per-block prunes decided BEFORE decoding:
     *
-    *  1. Block-granular conjunction LEAPFROG (ConjunctionScorer.DoNext at
-    *     block granularity, /root/reference/src/Lucene.Net/Search/
-    *     ConjunctionScorer.cs:118): with a MUST lead, per-doc accumulators
-    *     are created only while decoding rank-0 (lead) blocks — which the
-    *     (bucket, rank, ti) sort delivers FIRST within each bucket — so a
-    *     later block whose doc range overlaps no surviving lead block's
-    *     range cannot touch any accumulator; skipping its decode is exact
-    *     work elimination, not a threshold decision. Unlike the scan-side
-    *     Intervals prefilter this needs no driver collect, so it holds at
-    *     ANY lead df (the 10^9-df conjunction at corpus scale). The lead is
-    *     one term, so its ranges are disjoint: overlap = binary search.
+    *  1. DOC-EXACT conjunction LEAPFROG (ConjunctionScorer.DoNext sharpened
+    *     to candidate granularity, /root/reference/src/Lucene.Net/Search/
+    *     ConjunctionScorer.cs:118): per-doc accumulators are created only
+    *     while decoding rank-0 (lead/establisher) blocks — which the
+    *     (bucket, rank, ti) sort delivers FIRST within each bucket — so
+    *     once the first non-lead block arrives the candidate set is FROZEN
+    *     and snapshots into one sorted array; a later block whose doc range
+    *     contains NO candidate (binary search) cannot touch any accumulator
+    *     and its decode is skipped — exact work elimination, not a
+    *     threshold decision, strictly stronger than the round-4
+    *     lead-block-RANGE test (a range can overlap while holding no actual
+    *     candidate). No driver collect, so it holds at ANY lead df (the
+    *     10^9-df conjunction at corpus scale). Applies equally at nMust==0
+    *     (pure SHOULD + NOT): positive terms establish at rank 0, NOT
+    *     blocks at rank 1 only ever EXCLUDE established docs, so a NOT
+    *     block with no candidate in range is dead weight.
     *  2. MaxScore block bound vs verified totals: each partition keeps a
     *     k-heap of exact flushed scores (docs that passed the MUST/mm/NOT
     *     filters — order-statistics dominance keeps theta sound even when
@@ -204,13 +209,16 @@ object BlockCombine {
     *     dropping one could un-exclude an emitted doc) — only leapfrogged,
     *     which is sound because an un-overlapped range holds no
     *     accumulators to exclude.
-    *  3. A bound-skipped LEAD block also withholds its range from the
-    *     leapfrog index, so docs it would have established are dropped
-    *     consistently everywhere.
+    *  3. A bound-skipped LEAD block's docs are never established, so the
+    *     frozen candidate array excludes them automatically — docs it would
+    *     have established are dropped consistently everywhere.
     *
     * `ubFns(ti)` maps a block's (max_tf, max_nb) to a double upper bound on
     * that clause's float32 score (null for pure-NOT clauses); `rests(ti)`
-    * is the precomputed rest-sum.
+    * is the precomputed rest-sum. `theta0` seeds the verified-total
+    * threshold before the first flush (sound when it lower-bounds the
+    * global k-th best total — e.g. WandSearcher.seedTheta's k-th best exact
+    * single-clause score over k distinct docs); NegativeInfinity disarms it.
     */
   def combinePruned(spark: SparkSession, blocks: Dataset[TaggedM],
                     scorers: Array[Similarity.TermScorer], isMust: Array[Boolean],
@@ -218,7 +226,8 @@ object BlockCombine {
                     ubFns: Array[(Int, Int) => Double], rests: Array[Double],
                     slack: Double, k: Int,
                     skipped: org.apache.spark.util.LongAccumulator,
-                    scanned: org.apache.spark.util.LongAccumulator): Dataset[(Long, Float)] = {
+                    scanned: org.apache.spark.util.LongAccumulator,
+                    theta0: Double = Double.NegativeInfinity): Dataset[(Long, Float)] = {
     import spark.implicits._
     val nTis = scorers.length
     val bScorers = spark.sparkContext.broadcast(scorers)
@@ -237,36 +246,30 @@ object BlockCombine {
         val ub = bUb.value
         val rest = bRests.value
         val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
-        var theta = Double.NegativeInfinity
+        var theta = theta0
         val perDoc = new scala.collection.mutable.LongMap[DocAcc]()
         var curBucket = Long.MinValue
-        // surviving lead-block ranges of the CURRENT bucket (disjoint; rank-0
-        // blocks arrive first but in file order, so sort lazily once the
-        // first non-lead block needs a lookup)
-        val leadStarts = new scala.collection.mutable.ArrayBuffer[Long]()
-        val leadEnds = new scala.collection.mutable.ArrayBuffer[Long]()
-        var leadSorted = true
+        // candidate docs of the CURRENT bucket, frozen (sorted snapshot of
+        // the established doc ids) at the first non-lead block — the
+        // (bucket, rank, ti) sort guarantees every establisher ran first
+        var cand: Array[Long] = null
 
-        def overlapsLead(first: Long, last: Long): Boolean = {
-          if (!leadSorted) {
-            val idx = leadStarts.indices.sortBy(leadStarts)
-            val s = idx.map(leadStarts).toBuffer
-            val e = idx.map(leadEnds).toBuffer
-            leadStarts.clear(); leadStarts ++= s
-            leadEnds.clear(); leadEnds ++= e
-            leadSorted = true
+        def anyCandidateIn(first: Long, last: Long): Boolean = {
+          if (cand == null) {
+            cand = perDoc.keysIterator.toArray
+            java.util.Arrays.sort(cand)
           }
           var loI = 0
-          var hiI = leadStarts.length
+          var hiI = cand.length
           while (loI < hiI) {
             val mid = (loI + hiI) >>> 1
-            if (leadStarts(mid) <= last) loI = mid + 1 else hiI = mid
+            if (cand(mid) < first) loI = mid + 1 else hiI = mid
           }
-          loI > 0 && leadEnds(loI - 1) >= first
+          loI < cand.length && cand(loI) <= last
         }
 
         def flush(): Iterator[(Long, Float)] = {
-          leadStarts.clear(); leadEnds.clear(); leadSorted = true
+          cand = null
           if (perDoc.isEmpty) Iterator.empty
           else {
             val snap = perDoc.toArray
@@ -318,17 +321,10 @@ object BlockCombine {
           }
           val lo = b.bucket * width
           val hi = lo + width
-          if (nMust > 0) {
-            if (lead) {
-              leadStarts += b.first_doc
-              leadEnds += b.last_doc
-              if (leadStarts.length >= 2 &&
-                leadStarts(leadStarts.length - 2) > b.first_doc) leadSorted = false
-            } else if (!overlapsLead(math.max(b.first_doc, lo),
-              math.min(b.last_doc, hi - 1))) {
-              skipped.add(1)
-              return
-            }
+          if (!lead && !anyCandidateIn(math.max(b.first_doc, lo),
+            math.min(b.last_doc, hi - 1))) {
+            skipped.add(1)
+            return
           }
           scanned.add(1)
           val scorer = sc(ti)
@@ -347,6 +343,185 @@ object BlockCombine {
                 if (isNotTi) acc.excluded = true
                 else acc.s(ti) = scorer.score(tfs(i).toFloat, b.norm_bytes(i))
               }
+            }
+            i += 1
+          }
+        }
+
+        new scala.collection.AbstractIterator[(Long, Float)] {
+          private var pendingFlush: Iterator[(Long, Float)] = Iterator.empty
+          private var done = false
+          private def advance(): Unit = {
+            while (!pendingFlush.hasNext && !done) {
+              if (it.hasNext) {
+                val b = it.next()
+                if (b.bucket != curBucket) {
+                  pendingFlush = flush()
+                  curBucket = b.bucket
+                }
+                addBlock(b)
+              } else {
+                pendingFlush = flush()
+                done = true
+              }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pendingFlush.hasNext
+          override def next(): (Long, Float) = {
+            val h = pendingFlush.next()
+            advance()
+            h
+          }
+        }
+      }
+  }
+
+  /** MaxScore-pruned combine for pure disjunctions — the term-level
+    * essential/non-essential split (Turtle & Flood, "Query evaluation:
+    * strategies and optimizations", IP&M 1995; the role skip lists play in
+    * the reference's Advance path, /root/reference/src/Lucene.Net/Codecs/
+    * Lucene41/Lucene41SkipWriter.cs:68-69) at block granularity, reduce-side.
+    *
+    * Why this breaks the block-bound plateau: a disjunction block's bound
+    * `ub_i(b) + Σ_{j≠i} gmax_j` carries every OTHER term's global max as
+    * rest, so a weak term's blocks are unskippable by bounds alone whenever
+    * one strong term exists (WandSearcher round-4 θ-seed negative result).
+    * The term-level split attacks the same blocks from the other side:
+    * blocks arrive per bucket sorted STRONGEST TERM FIRST (rank = gmax-desc
+    * position), and once the remaining terms' gmax sum cannot reach θ —
+    * `suffix(rank) * slack < θ` — establishment stops: a doc not yet seen
+    * can only be contained in the remaining weaker terms, so its float32
+    * total is ≤ suffix(rank) · slack < θ ≤ the global k-th best verified
+    * total, and it can never enter the top k. The candidate set freezes,
+    * and every later (non-essential) block whose doc range holds NO frozen
+    * candidate skips its decode entirely — the classic "scan the dense
+    * lists only where a rare-term candidate exists" MaxScore win, which is
+    * exactly the unskippable-cross-term-block population. Established docs
+    * keep EXACT scores: any block containing a candidate decodes (the
+    * binary search finds it), so emissions are bit-identical to the
+    * exhaustive combine for every surviving doc.
+    *
+    * θ starts at `theta0` (WandSearcher's dictionary seed — k distinct docs
+    * of one term each with total ≥ their clause score) and grows from
+    * flushed verified totals. With the default one-bucket-per-partition
+    * geometry the seed is what arms the split from block one; without it
+    * (theta0 = -inf) the path degrades gracefully to the exhaustive decode
+    * order with bound checks only.
+    *
+    * `suffix(r)` = Σ over terms with rank ≥ r of gmax (double); `rests`/
+    * `ubFns` indexed by ti as in [[combinePruned]]. Emission semantics are
+    * the pure-disjunction subset of [[combine]]: every established doc with
+    * ≥1 clause emits, slots fold ascending ti (canonical float order).
+    */
+  def combineShouldPruned(spark: SparkSession, blocks: Dataset[TaggedM],
+                          scorers: Array[Similarity.TermScorer],
+                          suffix: Array[Double],
+                          ubFns: Array[(Int, Int) => Double],
+                          rests: Array[Double],
+                          slack: Double, k: Int, width: Long, theta0: Double,
+                          skipped: org.apache.spark.util.LongAccumulator,
+                          scanned: org.apache.spark.util.LongAccumulator): Dataset[(Long, Float)] = {
+    import spark.implicits._
+    val nTis = scorers.length
+    val bScorers = spark.sparkContext.broadcast(scorers)
+    val bUb = spark.sparkContext.broadcast(ubFns)
+    val bRests = spark.sparkContext.broadcast(rests)
+    val bSuffix = spark.sparkContext.broadcast(suffix)
+    val kk = k
+    blocks
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "rank", "ti")
+      .mapPartitions { it =>
+        val sc = bScorers.value
+        val ub = bUb.value
+        val rest = bRests.value
+        val suf = bSuffix.value
+        val heap = new java.util.PriorityQueue[java.lang.Float](kk + 1)
+        var theta = theta0
+        val perDoc = new scala.collection.mutable.LongMap[DocAcc]()
+        var curBucket = Long.MinValue
+        var establishing = true      // flips once per bucket, never back
+        var cand: Array[Long] = null // frozen sorted candidates of the bucket
+
+        def anyCandidateIn(first: Long, last: Long): Boolean = {
+          if (cand == null) {
+            cand = perDoc.keysIterator.toArray
+            java.util.Arrays.sort(cand)
+          }
+          var loI = 0
+          var hiI = cand.length
+          while (loI < hiI) {
+            val mid = (loI + hiI) >>> 1
+            if (cand(mid) < first) loI = mid + 1 else hiI = mid
+          }
+          loI < cand.length && cand(loI) <= last
+        }
+
+        def flush(): Iterator[(Long, Float)] = {
+          cand = null
+          establishing = true
+          if (perDoc.isEmpty) Iterator.empty
+          else {
+            val snap = perDoc.toArray
+            perDoc.clear()
+            val out = new Array[(Long, Float)](snap.length)
+            var o = 0
+            while (o < snap.length) {
+              val (doc, acc) = snap(o)
+              var score = 0.0f
+              var i = 0
+              while (i < nTis) {
+                val v = acc.s(i)
+                if (!v.isNaN) score += v
+                i += 1
+              }
+              out(o) = (doc, score)
+              if (heap.size < kk) heap.offer(score)
+              else if (score > heap.peek()) { heap.poll(); heap.offer(score) }
+              if (heap.size == kk) {
+                val c = heap.peek().toDouble
+                if (c > theta) theta = c
+              }
+              o += 1
+            }
+            out.iterator
+          }
+        }
+
+        def addBlock(b: TaggedM): Unit = {
+          val ti = b.ti
+          // 1. block-bound skip (same algebra as the scan side, against the
+          //    possibly-larger reduce-side theta)
+          if ((ub(ti)(b.max_tf, b.max_nb) + rest(ti)) * slack < theta) {
+            skipped.add(1)
+            return
+          }
+          // 2. term-level MaxScore: stop establishing once the remaining
+          //    (weaker) terms cannot reach theta on their own
+          if (establishing && suf(b.rank) * slack < theta) establishing = false
+          val lo = b.bucket * width
+          val hi = lo + width
+          if (!establishing && !anyCandidateIn(math.max(b.first_doc, lo),
+            math.min(b.last_doc, hi - 1))) {
+            skipped.add(1)
+            return
+          }
+          scanned.add(1)
+          val scorer = sc(ti)
+          val (docs, tfs) = PostingCodec.decodeDocsTfs(b.first_doc, b.cnt,
+            b.doc_bytes, b.tf_bytes)
+          var i = 0
+          while (i < b.cnt) {
+            val d = docs(i)
+            if (d >= lo && d < hi) {
+              var acc = perDoc.getOrNull(d)
+              if (acc == null && establishing) {
+                acc = new DocAcc(nTis)
+                perDoc.update(d, acc)
+              }
+              if (acc != null)
+                acc.s(ti) = scorer.score(tfs(i).toFloat, b.norm_bytes(i))
             }
             i += 1
           }

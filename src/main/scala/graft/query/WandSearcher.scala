@@ -49,7 +49,9 @@ import org.apache.spark.util.LongAccumulator
   * doc) gives the smallest cache value (block-max metadata laid down at build
   * time, graft.codec.PostingBlock).
   */
-final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializable {
+final class WandSearcher(spark: SparkSession, indexDir: String,
+                         seedMinBlocksOpt: Option[Long] = None,
+                         maxScoreMinBlocksOpt: Option[Long] = None) extends Serializable {
   import spark.implicits._
 
   private val base = new Searcher(spark, indexDir)
@@ -129,9 +131,26 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     * whose streams are NOT impact-ordered — e.g. doc-ordered segment files —
     * where per-cut self-seeding does not happen; WandSpec forces it on to
     * pin rank/score identity either way.
+    *
+    * Tests opt in PER INSTANCE via the constructor parameter (the sys prop
+    * is only the process-wide default) so suites running in parallel never
+    * arm each other's searchers.
     */
-  private val seedMinBlocks: Long =
-    sys.props.get("graft.wand.seedMinBlocks").map(_.toLong).getOrElse(Long.MaxValue)
+  private val seedMinBlocks: Long = seedMinBlocksOpt.getOrElse(
+    sys.props.get("graft.wand.seedMinBlocks").map(_.toLong).getOrElse(Long.MaxValue))
+
+  /** Minimum estimated scan size (posting blocks over the query's terms)
+    * before the dictionary θ-seed job runs to arm the REDUCE-side term-level
+    * MaxScore split (BlockCombine.combineShouldPruned scaladoc). DEFAULT ON
+    * at 64 blocks: unlike the scan-side use above — where impact-ordered
+    * cuts self-seed and the experiment showed zero effect — the reduce side
+    * has exactly ONE bucket per partition in the default geometry and
+    * therefore never develops a θ before its only flush; the seed is what
+    * makes the essential/non-essential split live from the first block.
+    * The seed job itself reads only (k/128+1) blocks of one term.
+    */
+  private val maxScoreMinBlocks: Long = maxScoreMinBlocksOpt.getOrElse(
+    sys.props.get("graft.wand.maxScoreMinBlocks").map(_.toLong).getOrElse(64L))
 
   private def estBlocks(dict: Iterable[TermDictRow]): Long =
     dict.iterator.map(d =>
@@ -215,7 +234,12 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val kk = k
     val mId = mustId
     // theta may only grow from MUST clause scores here (see scaladoc), so
-    // the seed reads the MUST term's best blocks
+    // the seed reads the MUST term's best blocks. Experimental-flag only
+    // (default off): a θ0-driven bound skip needs ub_i(b) + rest(i) < θ0 ≤
+    // gmax(must), but every term's rest already sums the others' gmax —
+    // ≥ gmax(must) whenever ≥2 terms are present — so the seed cannot add
+    // skips here; the conjunction pruning lives in combinePruned's
+    // doc-exact leapfrog + verified-total bounds instead.
     val theta0: Double =
       if (estBlocks(dict.values) < seedMinBlocks) Double.NegativeInfinity
       else seedTheta(mustId, weights(mustId), k)
@@ -235,12 +259,12 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
         var theta = theta0
         blocks.flatMap { b =>
           val tw = w(b.term_id)
+          val copies = b.last_doc / width - b.first_doc / width + 1
           val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
           if (bound < theta) {
-            skipped.add(1)
+            skipped.add(copies)
             Iterator.empty
           } else {
-            scanned.add(1)
             // only the MUST term's clause scores may grow theta — and only
             // a block whose own ub can exceed the full heap's k-th best can
             // raise it (the scan-side decode exists solely for theta, so
@@ -267,8 +291,9 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
             // MUST leads (rank 0): only it establishes per-doc state
             val rank = if (b.term_id == mId) 0 else 1
             PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
-              BlockCombine.Tagged(bk, rank, ti, b.first_doc, b.cnt,
-                b.doc_bytes, b.tf_bytes, b.norm_bytes))
+              BlockCombine.TaggedM(bk, rank, ti, b.first_doc, b.last_doc,
+                b.cnt, b.doc_bytes, b.tf_bytes, b.norm_bytes,
+                b.max_tf, b.max_nb))
           }
         }
       }
@@ -279,10 +304,22 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
           (tf: Float, nb: Byte) => Bm25.score(tw.weightValue, tf, tw.cache, nb)
         f
       }.toArray
-    BlockCombine.combine(spark, tagged, scorers,
+    val ubFns: Array[(Int, Int) => Double] =
+      ids.map { tid =>
+        val tw = weights(tid)
+        val f: (Int, Int) => Double = (maxTf, maxNb) => ubD(tw, maxTf, maxNb)
+        f
+      }.toArray
+    // reduce side: doc-exact SHOULD leapfrog (a should block with no
+    // established MUST candidate in range never decodes) + block bounds
+    // against max(theta0, verified flushed totals)
+    BlockCombine.combinePruned(spark, tagged, scorers,
       isMust = ids.map(_ == mId).toArray,
       isNot = Array.fill(ids.size)(false),
-      nMust = 1, mm = 0, width = width)
+      nMust = 1, mm = 0, width = width,
+      ubFns = ubFns, rests = ids.map(restD).toArray,
+      slack = slack, k = k,
+      skipped = skipped, scanned = scanned, theta0 = theta0)
       .toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
@@ -435,13 +472,25 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
     val singleTerm = ids.size == 1
     val kk = k
     // seed from the strongest term (largest global ub): its best blocks hold
-    // the highest clause scores available to any single term
+    // the highest clause scores available to any single term. Armed by the
+    // scan-side experiment flag (seedMinBlocks, default off) OR by the
+    // reduce-side MaxScore split (maxScoreMinBlocks, default on past 64
+    // blocks) — but for the split only when the freeze is POSSIBLE: θ0 can
+    // never exceed the strongest term's gmax, so unless the remaining
+    // terms' gmax sum is already below it (real df skew), the seeded split
+    // cannot fire and the job is pure overhead (measured: the 24-query
+    // bench set has equal-frequency pairs, identical skip counts, ~30-140ms
+    // wasted per armed query — the same lesson as the round-4 scan-side
+    // experiment, now load-gated instead of default-off).
+    val gmaxSortedDesc = ids.map(gmaxD).sorted(Ordering[Double].reverse)
+    val freezePossible = !singleTerm &&
+      gmaxSortedDesc.drop(1).sum * slack < gmaxSortedDesc.head
     val theta0: Double =
-      if (estBlocks(dict.values) < seedMinBlocks) Double.NegativeInfinity
-      else {
+      if (estBlocks(dict.values) >= seedMinBlocks ||
+        (freezePossible && estBlocks(dict.values) >= maxScoreMinBlocks)) {
         val tid = ids.maxBy(gmaxD)
         seedTheta(tid, weights(tid), k)
-      }
+      } else Double.NegativeInfinity
 
     val combined =
       if (singleTerm) {
@@ -478,13 +527,58 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
       } else {
         // multi-term: prune blocks during the scan (per-term k-heaps of
         // exact clause scores bound theta), then ship the SURVIVING blocks
-        // packed through the doc-range-bucketed combine (BlockCombine) —
-        // residual postings are re-scored reduce-side in canonical order;
-        // the scan-side decode exists only to grow theta.
+        // packed through the doc-range-bucketed MaxScore combine
+        // (BlockCombine.combineShouldPruned) — residual postings are
+        // re-scored reduce-side in canonical order; the scan-side decode
+        // exists only to grow theta. skipped/scanned are counted in
+        // BUCKET-COPIES (the unit of reduce decode work): the combine
+        // counts each shipped copy once, the scan-side bound skip counts
+        // the copies it prevented.
         import graft.codec.ScoreSpanBlock
         val tiOf: Map[Long, Int] = ids.zipWithIndex.toMap // ids sorted asc
         val bTi = spark.sparkContext.broadcast(tiOf)
         val width = PositionalScan.bucketWidth(spark, st.max_doc)
+        // term-level MaxScore split metadata: ranks order terms STRONGEST
+        // first; suffix(r) = sum of gmax over ranks >= r (see
+        // combineShouldPruned scaladoc for the soundness argument)
+        val rankedTids: Seq[Long] = ids.sortBy(t => (-gmaxD(t), t))
+        val rankOfTid: Map[Long, Int] = rankedTids.zipWithIndex.toMap
+        val suffix: Array[Double] = {
+          val g = rankedTids.map(gmaxD).toArray
+          val s = new Array[Double](g.length)
+          var acc = 0.0
+          var i = g.length - 1
+          while (i >= 0) { acc += g(i); s(i) = acc; i -= 1 }
+          s
+        }
+        val bRank = spark.sparkContext.broadcast(rankOfTid)
+        // STATIC essential/non-essential split, decidable at the driver once
+        // theta0 is known: the smallest rank whose gmax suffix cannot reach
+        // theta0 starts the non-essential set. When every essential term is
+        // rare enough to collect its block ranges (same phraseLeadMaxDf cap
+        // as the conjunction prefilter), non-essential blocks overlapping NO
+        // essential range are dropped AT THE SCAN — never shipped, never
+        // decoded. Sound by the freeze argument (combineShouldPruned
+        // scaladoc): suffix(splitRank)·slack < theta0 means a doc outside
+        // every essential posting has total < theta0 ≤ the k-th best, and
+        // with theta0 armed non-essential blocks never establish reduce-side
+        // either, so a dropped block can contain no candidate.
+        val splitRank: Int =
+          if (theta0.isNegInfinity) ids.size
+          else (1 until ids.size).find(r => suffix(r) * slack < theta0).getOrElse(ids.size)
+        val essIv: Option[org.apache.spark.broadcast.Broadcast[PositionalScan.Intervals]] =
+          if (splitRank >= ids.size) None
+          else {
+            val essTids = rankedTids.take(splitRank)
+            val dfByTid: Map[Long, Long] = dict.values.map(d => d.term_id -> d.df).toMap
+            if (essTids.map(dfByTid).sum > Searcher.phraseLeadMaxDf) None
+            else {
+              val ranges = postings.filter(col("term_id").isin(essTids: _*))
+                .select("first_doc", "last_doc").as[(Long, Long)].collect()
+              Some(spark.sparkContext.broadcast(PositionalScan.Intervals.merge(ranges)))
+            }
+          }
+        val splitRankEff = if (essIv.isDefined) splitRank else Int.MaxValue
         val tagged = postings
           .filter(col("term_id").isin(ids: _*))
           .select(ScoreSpanBlock.cols.map(col): _*)
@@ -496,12 +590,18 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
             var theta = theta0
             blocks.flatMap { b =>
               val tw = w(b.term_id)
+              val copies = b.last_doc / width - b.first_doc / width + 1
               val bound = (ubD(tw, b.max_tf, b.max_nb) + rest(b.term_id)) * slack
               if (bound < theta) {
-                skipped.add(1)
+                skipped.add(copies)
+                Iterator.empty
+              } else if (bRank.value(b.term_id) >= splitRankEff &&
+                !essIv.get.value.overlaps(b.first_doc, b.last_doc)) {
+                // non-essential block away from every essential-term range:
+                // dropped before the shuffle (the scan-side MaxScore win)
+                skipped.add(copies)
                 Iterator.empty
               } else {
-                scanned.add(1)
                 // scan-side decode exists solely to grow theta: a block whose
                 // scores are all <= theta (ub <= theta) cannot produce a
                 // cand above it from any per-term heap — ship undecoded
@@ -524,9 +624,11 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
                   }
                 }
                 val ti = bTi.value(b.term_id)
+                val rank = bRank.value(b.term_id)
                 PositionalScan.buckets(b.first_doc, b.last_doc, width).map(bk =>
-                  BlockCombine.Tagged(bk, 0, ti, b.first_doc, b.cnt,
-                    b.doc_bytes, b.tf_bytes, b.norm_bytes))
+                  BlockCombine.TaggedM(bk, rank, ti, b.first_doc, b.last_doc,
+                    b.cnt, b.doc_bytes, b.tf_bytes, b.norm_bytes,
+                    b.max_tf, b.max_nb))
               }
             }
           }
@@ -537,10 +639,16 @@ final class WandSearcher(spark: SparkSession, indexDir: String) extends Serializ
               (tf: Float, nb: Byte) => Bm25.score(tw.weightValue, tf, tw.cache, nb)
             f
           }.toArray
-        BlockCombine.combine(spark, tagged, scorers,
-          isMust = Array.fill(ids.size)(false),
-          isNot = Array.fill(ids.size)(false),
-          nMust = 0, mm = 0, width = width)
+        val ubFns: Array[(Int, Int) => Double] =
+          ids.map { tid =>
+            val tw = weights(tid)
+            val f: (Int, Int) => Double = (maxTf, maxNb) => ubD(tw, maxTf, maxNb)
+            f
+          }.toArray
+        BlockCombine.combineShouldPruned(spark, tagged, scorers,
+          suffix = suffix, ubFns = ubFns, rests = ids.map(restD).toArray,
+          slack = slack, k = k, width = width, theta0 = theta0,
+          skipped = skipped, scanned = scanned)
       }
 
     combined.toDF("doc_id", "score")

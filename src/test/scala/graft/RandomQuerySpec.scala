@@ -100,15 +100,15 @@ class RandomQuerySpec extends AnyFunSuite {
 
   test("40 random shapes with the dictionary theta seed forced on: still bit-identical") {
     // the seed path is default-off (see WandSearcher scaladoc); force it so
-    // random shapes fuzz the seeded pruning against the exhaustive oracle
-    val key = "graft.wand.seedMinBlocks"
-    val old = sys.props.get(key)
-    sys.props(key) = "0"
-    try {
+    // random shapes fuzz the seeded pruning against the exhaustive oracle.
+    // Per-instance opt-in — no global sys-prop mutation (parallel suites
+    // must never see each other's seeding).
+    locally {
       val dir = Files.createTempDirectory("graft_rand_seed").toString
       IndexBuilder.buildFromTurns(Transcripts.dataset(spark, 150), dir)
       val exhaustive = new Searcher(spark, dir)
-      val wand = new graft.query.WandSearcher(spark, dir)
+      val wand = new graft.query.WandSearcher(spark, dir,
+        seedMinBlocksOpt = Some(0L), maxScoreMinBlocksOpt = Some(0L))
       val rnd = new Random(20260819L)
       val vocab = Vector("time", "person", "year", "way", "day", "spark", "index",
         "search", "query", "merge", "table", "fast", "slow", "w000123", "zzznope")
@@ -131,8 +131,6 @@ class RandomQuerySpec extends AnyFunSuite {
         }
       }
       assert(nonEmpty > 12, s"only $nonEmpty random seeded shapes matched docs")
-    } finally {
-      old match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
     }
   }
 }

@@ -152,11 +152,10 @@ class WandSpec extends AnyFunSuite {
     // on for EVERY shape so the seeded threshold is exercised against the
     // exhaustive oracle on this corpus (including the all-ties corpus where
     // theta_0 equals every block's score and the strict skip must keep them).
-    val key = "graft.wand.seedMinBlocks"
-    val old = sys.props.get(key)
-    sys.props(key) = "0"
-    try {
-      val wd = new WandSearcher(spark, indexDir) // reads the prop at construction
+    // Per-instance opt-in (constructor param) — no global sys-prop mutation,
+    // so concurrently-running suites are never armed by this test.
+    locally {
+      val wd = new WandSearcher(spark, indexDir, seedMinBlocksOpt = Some(0L))
       def seededBoth(q: Query, k: Int = 10): Unit = {
         val a = exhaustive.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
         val b = wd.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
@@ -176,14 +175,64 @@ class WandSpec extends AnyFunSuite {
       val docs = (0L until 600L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
       IndexBuilder.build(docs, dir)
       val ex2 = new Searcher(spark, dir)
-      val wd2 = new WandSearcher(spark, dir)
+      val wd2 = new WandSearcher(spark, dir, seedMinBlocksOpt = Some(0L),
+        maxScoreMinBlocksOpt = Some(0L)) // all-ties + forced MaxScore split
       val q = Query.Bool(must = Seq("alpha"), should = Seq("beta"))
       val a = ex2.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
       val b = wd2.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
       assert(a.nonEmpty && a == b)
-    } finally {
-      old match { case Some(v) => sys.props(key) = v; case None => sys.props.remove(key) }
     }
+  }
+
+  test("term-level MaxScore: dense non-essential blocks skip away from rare candidates") {
+    // One rare strong term (50 docs, clustered at the low ids) + one dense
+    // weak term (every doc): theta_0 seeded from the rare term's top-k
+    // exceeds the dense term's entire gmax, so the dense term is
+    // NON-ESSENTIAL from block one — it stops establishing candidates, and
+    // every dense block whose 128-doc range holds no rare candidate skips
+    // its decode (BlockCombine.combineShouldPruned). This is exactly the
+    // cross-term block population the round-4 theta-seed experiment proved
+    // unskippable by block BOUNDS alone.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wand_maxscore").toString
+    val docs = (0L until 20000L).map { i =>
+      val rare = if (i < 50) " needle" else ""
+      (i, s"hay filler$rare")
+    }.toDF("doc_id", "text")
+    IndexBuilder.build(docs, dir)
+    val ex = new Searcher(spark, dir)
+    val wd = new WandSearcher(spark, dir) // default-on split (158 blocks > 64)
+    val q = Query.Bool(should = Seq("needle", "hay"))
+    val a = ex.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = wd.search(q, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a.nonEmpty && a == b, s"MaxScore diverged\n exhaustive: $a\n wand: $b")
+    val skipped = wd.lastSkipped.get.value
+    val scanned = wd.lastScanned.get.value
+    assert(skipped > scanned,
+      s"dense blocks should mostly skip: skipped=$skipped scanned=$scanned")
+    // the skip is the term-level split, not the bound test: the dense term's
+    // blocks all carry the rare term's gmax as rest, so bounds alone keep them
+    assert(skipped.toDouble / (skipped + scanned) > 0.7,
+      s"expected >70% skip on the skewed mix: skipped=$skipped scanned=$scanned")
+  }
+
+  test("term-level MaxScore identity fuzz: split forced on at every scan size") {
+    // force the split (and its theta seed) on for small corpora so the
+    // freeze/candidate machinery is exercised against the exhaustive oracle
+    // across mixed-df disjunctions
+    val wd = new WandSearcher(spark, indexDir, maxScoreMinBlocksOpt = Some(0L))
+    def forcedBoth(q: Query, k: Int = 10): Unit = {
+      val a = exhaustive.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val b = wd.search(q, k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(a == b, s"forced MaxScore diverged on $q\n exhaustive: $a\n wand: $b")
+    }
+    forcedBoth(Query.Bool(should = Seq("time", "person")))
+    forcedBoth(Query.Bool(should = Seq("spark", "index", "search")))
+    forcedBoth(Query.Bool(should = Seq("year", "way", "day", "thing", "man")))
+    forcedBoth(Query.Bool(should = Seq("time", "w001234")))
+    forcedBoth(Query.Bool(should = Seq("time", "w001234")), k = 10000)
+    forcedBoth(Query.Bool(must = Seq("time"), should = Seq("person", "year")))
+    forcedBoth(Query.Bool(must = Seq("w001234"), should = Seq("time")))
   }
 
   test("tight score ties: every block bound equals theta, nothing lost") {
