@@ -5,6 +5,7 @@ import graft.fixtures.Transcripts
 import graft.gate.Gate
 import graft.query.{Query, Searcher, WandSearcher}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import scala.collection.mutable.LinkedHashMap
 
 /** Round benchmark (driver-run): one JSON line on stdout.
@@ -218,7 +219,125 @@ object Bench {
         timed(searcher.search(Query.parse(qs), 10).collect())._2
       }.sorted
       out += "phrase_p50_ms" -> pct(lPh, 0.5) * 1000
+      // term-level MaxScore series (round 5, NEW keys — the 24-query set
+      // above stays unchanged for round-over-round comparability): rare-
+      // strong + dense-weak disjunctions, the Zipfian real-query shape the
+      // flat synthetic pairs lack. Reported ON vs OFF so the split's skip
+      // gain and latency delta are both driver artifacts.
+      val skewStrs = Seq("w010000 time", "w025000 person",
+        "w002000 spark index", "w010000 year way",
+        "w000500 search query", "w010000 w025000 time")
+      val wandOff = new WandSearcher(s, warmIdx,
+        maxScoreMinBlocksOpt = Some(Long.MaxValue))
+      skewStrs.take(2).foreach { qs =>
+        wand.search(Query.parse(qs), 10).collect()
+        wandOff.search(Query.parse(qs), 10).collect()
+      }
+      def skewSide(w: WandSearcher): (Double, Double) = {
+        var sk = 0L
+        var sc = 0L
+        val ts = skewStrs.map { qs =>
+          val t = timed(w.search(Query.parse(qs), 10).collect())._2
+          sk += w.lastSkipped.map(_.value.longValue).getOrElse(0L)
+          sc += w.lastScanned.map(_.value.longValue).getOrElse(0L)
+          t
+        }.sorted
+        (pct(ts, 0.5) * 1000, if (sk + sc > 0) sk.toDouble / (sk + sc) else 0.0)
+      }
+      val (skewOnP50, skewOnRatio) = skewSide(wand)
+      val (skewOffP50, skewOffRatio) = skewSide(wandOff)
+      out += "wand_skew_p50_ms" -> skewOnP50
+      out += "wand_skew_skip_ratio" -> skewOnRatio
+      out += "wand_skew_off_p50_ms" -> skewOffP50
+      out += "wand_skew_off_skip_ratio" -> skewOffRatio
+
+      // ---- ranked-quality harness (round 5): MAP@10 / P@10 / MRR over a
+      // fixed CONTAINMENT qrels set (reference QualityBenchmark.cs +
+      // QualityStats.cs). Relevance = "doc contains EVERY query term",
+      // derived from the raw postings — independent of all scoring code, so
+      // any ranking-affecting change moves these numbers even while the
+      // hash-gated fixed queries stay green.
+      locally {
+        import s.implicits._
+        import graft.codec.PostingCodec
+        val qualityQueries: Seq[Seq[String]] = Seq(
+          Seq("time", "person"), Seq("spark", "index"),
+          Seq("search", "query", "merge"), Seq("year", "way", "day"),
+          Seq("partition", "shuffle"), Seq("executor", "driver", "stage"),
+          Seq("w010000", "time"), Seq("w025000", "person"),
+          Seq("w000500", "search", "query"), Seq("world", "life"))
+        val td = s.read.parquet(s"$warmIdx/termdict")
+        def point(terms: Seq[String]): Option[graft.quality.QualityStats.Point] = {
+          val tids = td.filter(col("term").isin(terms: _*))
+            .select("term_id").as[Long].collect().toSeq
+          if (tids.size < terms.distinct.size) return None
+          val rel = s.read.parquet(s"$warmIdx/postings")
+            .filter(col("term_id").isin(tids: _*))
+            .select("term_id", "first_doc", "cnt", "doc_bytes", "tf_bytes")
+            .as[(Long, Long, Int, Array[Byte], Array[Byte])]
+            .flatMap { case (tid, fd, cnt, db, tb) =>
+              PostingCodec.decodeDocsTfs(fd, cnt, db, tb)._1.iterator.map(d => (d, tid))
+            }
+            .toDF("doc_id", "term_id")
+            .groupBy("doc_id")
+            .agg(org.apache.spark.sql.functions.countDistinct("term_id").as("n"))
+            .filter(col("n") === tids.size)
+            .select("doc_id")
+          rel.cache()
+          val nRel = rel.count()
+          val ranked = wand.search(Query.Bool(should = terms), 10).collect()
+            .map(_.getLong(0)).toSeq
+          val relOfRanked = rel.filter(col("doc_id").isin(ranked: _*))
+            .as[Long].collect().toSet
+          rel.unpersist()
+          Some(graft.quality.QualityStats.compute(ranked, relOfRanked.contains, nRel))
+        }
+        val (pts, tQual) = timed(qualityQueries.flatMap(point))
+        val m = graft.quality.QualityStats.mean(pts)
+        out += "quality_map10" -> m.ap
+        out += "quality_p10" -> m.pAtK
+        out += "quality_mrr" -> m.rr
+        out += "quality_queries" -> pts.size.toDouble
+        out += "quality_harness_s" -> tQual
+      }
       s.stop()
+    }
+
+    // ---- phase 2.6: NRT refresh latency + compaction cost ----------------
+    // (reference analog: NRT reopen via SearcherManager,
+    // /root/reference/src/Lucene.Net/Search/SearcherManager.cs:62; snapshot
+    // commit + SegmentedSearcher here). nrt_visibility_ms = wall time from
+    // "batch handed to the indexer" to "first query that sees it returns".
+    locally {
+      val s = session("local[8]", 8)
+      val nrtDir = s"$benchDir/nrt"
+      def rmrfLocal(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrfLocal))
+        f.delete(): Unit
+      }
+      rmrfLocal(new java.io.File(nrtDir))
+      import graft.streaming.{SegmentedSearcher, StreamingIndexer}
+      StreamingIndexer.appendSegment(Transcripts.dataset(s, 20000), nrtDir,
+        autoCompact = false, positions = false)
+      new SegmentedSearcher(s, nrtDir).search(Query.Term("time"), 10).collect()
+      val (_, tAppend) = timed(StreamingIndexer.appendSegment(
+        Transcripts.dataset(s, 500), nrtDir, autoCompact = false, positions = false))
+      val (_, tReopen) = timed {
+        new SegmentedSearcher(s, nrtDir).search(Query.Term("time"), 10).collect()
+      }
+      out += "nrt_append_s" -> tAppend
+      out += "nrt_reopen_search_s" -> tReopen
+      out += "nrt_visibility_ms" -> (tAppend + tReopen) * 1000
+      (1 to 3).foreach(_ => StreamingIndexer.appendSegment(
+        Transcripts.dataset(s, 500), nrtDir, autoCompact = false, positions = false))
+      val (_, tCompact) = timed(StreamingIndexer.compact(s, nrtDir))
+      out += "nrt_compact_s" -> tCompact
+      val (_, tPost) = timed {
+        new SegmentedSearcher(s, nrtDir).search(Query.Term("time"), 10).collect()
+      }
+      out += "nrt_post_compact_search_s" -> tPost
+      s.stop()
+      rmrfLocal(new java.io.File(nrtDir))
     }
 
     // ---- phase 3: driver-facing gate queries at sfDir ----------------------
@@ -272,6 +391,16 @@ object Bench {
     // it back out) — the file copy is the canonical machine-readable result.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$benchDir/bench.json"), line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    // Immutable per-run snapshot: BENCH_LOCAL.json is overwritten by every
+    // run, which broke the round-4 provenance chain (BASELINE.md quoted a
+    // run whose file no longer held it). Every number BASELINE.md quotes
+    // must live in a file that still contains it.
+    locally {
+      val runsDir = new java.io.File("BENCH_runs")
+      runsDir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_runs/bench_${System.currentTimeMillis}.json"), line)
+    }
     println(line)
   }
 }

@@ -1,0 +1,315 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.fixtures.Transcripts
+import graft.query.{Query, Searcher, WandSearcher}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable.LinkedHashMap
+
+/** Round-5 sf1 scale rehearsal (10x the per-round bench): the same protocol
+  * shapes as [[graft.Bench]] — interleaved scaling pairs, fixed 24-query
+  * latency set, MaxScore skew series, containment-qrels quality — at ~40 M
+  * turns, plus per-stage task metrics (straggler ratios) for every timed
+  * build. One-off dev tool (test scope): the driver artifact stays
+  * [[graft.Bench]]; this main writes BENCH_runs/sf1_<millis>.json only.
+  *
+  * Scaling pair is local[2] -> local[8] (N -> 4N cores): BASELINE.md's
+  * window studies show per-core throughput on this VM degrades past ~8
+  * threads (memory bandwidth), so 2 -> 8 is the largest 4x ratio with both
+  * sides unsaturated; local[1] at 40 M turns would cost ~26 min/sample.
+  *
+  * Usage: Test/runMain graft.DevSf1Bench [convs] [sfDir]
+  */
+object DevSf1Bench {
+
+  /** Collects per-stage task runtimes; straggler ratio = max/median task
+    * duration of the stage with the largest max task, over a run region.
+    */
+  private final class StageStats extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        byStage.computeIfAbsent(t.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration): Unit
+      }
+    /** (stageId, nTasks, medianMs, maxMs) of the stage with the largest max task. */
+    def worst(): Option[(Int, Int, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.flatMap { case (sid, q) =>
+        val ds = q.asScala.toArray.sorted
+        if (ds.isEmpty) None else Some((sid, ds.length, ds(ds.length / 2), ds.last))
+      }.toSeq.sortBy(-_._4).headOption
+    }
+  }
+
+  private def session(master: String, shuffle: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val numConvs = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val sfDir = if (args.length > 1) args(1) else "target/testdata/sf1"
+    val out = LinkedHashMap[String, Double]()
+    val notes = LinkedHashMap[String, String]()
+    val benchDir = "target/bench-sf1"
+    val wall0 = System.nanoTime()
+
+    // ---- corpus synth (once, local[32]) -----------------------------------
+    val corpusDir = s"$benchDir/turns"
+    var turns = 0L
+    locally {
+      val s = session("local[32]", 256)
+      val (_, tSynth) = timed {
+        Transcripts.dataset(s, numConvs)
+          .repartition(256)
+          .write.mode("overwrite").parquet(corpusDir)
+      }
+      turns = s.read.parquet(corpusDir).count()
+      out += "corpus_synth_s" -> tSynth
+      s.stop()
+    }
+    out += "turns" -> turns.toDouble
+
+    // Per-segment doc granularity matches Bench (segP=64 at ~4M turns):
+    // 10x data -> 10x segments of the SAME size, as a real cluster would.
+    val segP = (64L * turns / 4000000L).max(64L).toInt
+    var buildSeq = 0
+    def buildAt(master: String, shuffle: Int, positions: Boolean): (Double, StageStats) = {
+      buildSeq += 1
+      val s = session(master, shuffle)
+      val stats = new StageStats
+      s.sparkContext.addSparkListener(stats)
+      import s.implicits._
+      val src = s.read.parquet(corpusDir).as[graft.model.Turn]
+      val (_, t) = timed {
+        IndexBuilder.buildFromTurns(src, s"$benchDir/index-$buildSeq",
+          IndexBuilder.Options(numPartitions = shuffle, segmentPartitions = segP,
+            positions = positions))
+      }
+      s.stop()
+      try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(3000) }
+      catch { case _: Throwable => }
+      (t, stats)
+    }
+    def record(key: String, r: (Double, StageStats)): Double = {
+      out += s"${key}_s" -> r._1
+      r._2.worst().foreach { case (sid, n, med, mx) =>
+        out += s"${key}_straggler_ratio" -> (if (med > 0) mx.toDouble / med else 0.0)
+        notes += s"${key}_worst_stage" -> s"stage $sid: $n tasks, median ${med}ms, max ${mx}ms"
+      }
+      r._1
+    }
+
+    // JIT warmup (untimed, small)
+    locally {
+      val s = session("local[8]", 32)
+      import s.implicits._
+      IndexBuilder.buildFromTurns(Transcripts.dataset(s, numConvs / 15),
+        s"$benchDir/index-0", IndexBuilder.Options(numPartitions = 32,
+          segmentPartitions = 64, positions = false))
+      s.stop()
+    }
+
+    // ---- scaling: interleaved pairs (T8,T2),(T2,T8), docs+freqs ----------
+    val t8s = scala.collection.mutable.ArrayBuffer[Double]()
+    val t2s = scala.collection.mutable.ArrayBuffer[Double]()
+    t8s += record("build_local8_a", buildAt("local[8]", 32, positions = false))
+    t2s += record("build_local2_a", buildAt("local[2]", 8, positions = false))
+    t2s += record("build_local2_b", buildAt("local[2]", 8, positions = false))
+    t8s += record("build_local8_b", buildAt("local[8]", 32, positions = false))
+    val pairEffs = t8s.indices.map(i => (t2s(i) / t8s(i)) / 4.0)
+    out += "throughput_local2_turns_per_s" -> turns / t2s.min
+    out += "throughput_local8_turns_per_s" -> turns / t8s.min
+    out += "efficiency_n_to_4n" -> (t2s.min / t8s.min) / 4.0
+    out += "efficiency_median_pair" ->
+      pairEffs.sorted.apply(pairEffs.size / 2)
+    pairEffs.zipWithIndex.foreach { case (e, i) =>
+      out += s"pair_efficiency_${('a' + i).toChar}" -> e
+    }
+
+    // positional index for the query phase (untimed-critical; reported)
+    val (tPos, posStats) = buildAt("local[32]", 64, positions = true)
+    out += "build_positions_local32_s" -> tPos
+    posStats.worst().foreach { case (sid, n, med, mx) =>
+      notes += "build_positions_worst_stage" -> s"stage $sid: $n tasks, median ${med}ms, max ${mx}ms"
+    }
+    val warmIdx = s"$benchDir/index-$buildSeq"
+
+    // checkpoint scaling evidence before the long query phase
+    flush(out, notes, turns, wall0, benchDir)
+
+    // ---- query latency on the warm index ----------------------------------
+    val queryStrs = Seq(
+      "time", "person", "spark", "index", "search", "query",
+      "w000500", "w002000", "w010000", "w025000",
+      "time person", "spark index", "search query merge",
+      "year way day", "+time person", "+spark +index",
+      "time -person", "+world -life", "partition shuffle",
+      "executor driver stage", "don't", "3.14", "foo.bar", "o'neil")
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) 0 else xs((p * (xs.size - 1)).round.toInt)
+    locally {
+      val s = session("local[32]", 64)
+      val searcher = new Searcher(s, warmIdx)
+      val wand = new WandSearcher(s, warmIdx)
+      (queryStrs.take(4) ++ Seq("time person", "+spark +index", "time -person"))
+        .foreach { q =>
+          searcher.search(Query.parse(q), 10).collect()
+          wand.search(Query.parse(q), 10).collect()
+        }
+      val lEx = queryStrs.map(qs => timed(searcher.search(Query.parse(qs), 10).collect())._2).sorted
+      var skipped = 0L
+      var scanned = 0L
+      val lWd = queryStrs.map { qs =>
+        val t = timed(wand.search(Query.parse(qs), 10).collect())._2
+        skipped += wand.lastSkipped.map(_.value.longValue).getOrElse(0L)
+        scanned += wand.lastScanned.map(_.value.longValue).getOrElse(0L)
+        t
+      }.sorted
+      out += "query_p50_ms" -> pct(lEx, 0.5) * 1000
+      out += "query_p95_ms" -> pct(lEx, 0.95) * 1000
+      out += "wand_p50_ms" -> pct(lWd, 0.5) * 1000
+      out += "wand_p95_ms" -> pct(lWd, 0.95) * 1000
+      out += "wand_skip_ratio" ->
+        (if (skipped + scanned > 0) skipped.toDouble / (skipped + scanned) else 0.0)
+      val phraseStrs = Seq("\"time person\"", "\"spark index\"",
+        "\"search query\"~2", "\"year day\"~3")
+      phraseStrs.foreach(qs => searcher.search(Query.parse(qs), 10).collect())
+      val lPh = phraseStrs.map(qs => timed(searcher.search(Query.parse(qs), 10).collect())._2).sorted
+      out += "phrase_p50_ms" -> pct(lPh, 0.5) * 1000
+
+      // MaxScore skew series ON vs OFF — the sf0.1 crossover question:
+      // does the term-level split's fixed seed/range overhead amortize at 10x?
+      val skewStrs = Seq("w010000 time", "w025000 person",
+        "w002000 spark index", "w010000 year way",
+        "w000500 search query", "w010000 w025000 time")
+      val wandOff = new WandSearcher(s, warmIdx,
+        maxScoreMinBlocksOpt = Some(Long.MaxValue))
+      skewStrs.take(2).foreach { qs =>
+        wand.search(Query.parse(qs), 10).collect()
+        wandOff.search(Query.parse(qs), 10).collect()
+      }
+      def skewSide(w: WandSearcher): (Double, Double) = {
+        var sk = 0L
+        var sc = 0L
+        val ts = skewStrs.map { qs =>
+          val t = timed(w.search(Query.parse(qs), 10).collect())._2
+          sk += w.lastSkipped.map(_.value.longValue).getOrElse(0L)
+          sc += w.lastScanned.map(_.value.longValue).getOrElse(0L)
+          t
+        }.sorted
+        (pct(ts, 0.5) * 1000, if (sk + sc > 0) sk.toDouble / (sk + sc) else 0.0)
+      }
+      val (onP50, onRatio) = skewSide(wand)
+      val (offP50, offRatio) = skewSide(wandOff)
+      out += "wand_skew_p50_ms" -> onP50
+      out += "wand_skew_skip_ratio" -> onRatio
+      out += "wand_skew_off_p50_ms" -> offP50
+      out += "wand_skew_off_skip_ratio" -> offRatio
+
+      // ranked-quality harness (containment qrels, as in Bench)
+      locally {
+        import s.implicits._
+        import graft.codec.PostingCodec
+        val qualityQueries: Seq[Seq[String]] = Seq(
+          Seq("time", "person"), Seq("spark", "index"),
+          Seq("search", "query", "merge"), Seq("year", "way", "day"),
+          Seq("partition", "shuffle"), Seq("executor", "driver", "stage"),
+          Seq("w010000", "time"), Seq("w025000", "person"),
+          Seq("w000500", "search", "query"), Seq("world", "life"))
+        val td = s.read.parquet(s"$warmIdx/termdict")
+        def point(terms: Seq[String]): Option[graft.quality.QualityStats.Point] = {
+          val tids = td.filter(col("term").isin(terms: _*))
+            .select("term_id").as[Long].collect().toSeq
+          if (tids.size < terms.distinct.size) return None
+          val rel = s.read.parquet(s"$warmIdx/postings")
+            .filter(col("term_id").isin(tids: _*))
+            .select("term_id", "first_doc", "cnt", "doc_bytes", "tf_bytes")
+            .as[(Long, Long, Int, Array[Byte], Array[Byte])]
+            .flatMap { case (tid, fd, cnt, db, tb) =>
+              PostingCodec.decodeDocsTfs(fd, cnt, db, tb)._1.iterator.map(d => (d, tid))
+            }
+            .toDF("doc_id", "term_id")
+            .groupBy("doc_id")
+            .agg(org.apache.spark.sql.functions.countDistinct("term_id").as("n"))
+            .filter(col("n") === tids.size)
+            .select("doc_id")
+          rel.cache()
+          val nRel = rel.count()
+          val ranked = wand.search(Query.Bool(should = terms), 10).collect()
+            .map(_.getLong(0)).toSeq
+          val relOfRanked = rel.filter(col("doc_id").isin(ranked: _*))
+            .as[Long].collect().toSet
+          rel.unpersist()
+          Some(graft.quality.QualityStats.compute(ranked, relOfRanked.contains, nRel))
+        }
+        val (pts, tQual) = timed(qualityQueries.flatMap(point))
+        val m = graft.quality.QualityStats.mean(pts)
+        out += "quality_map10" -> m.ap
+        out += "quality_p10" -> m.pAtK
+        out += "quality_mrr" -> m.rr
+        out += "quality_harness_s" -> tQual
+      }
+      s.stop()
+    }
+    flush(out, notes, turns, wall0, benchDir)
+
+    // ---- gate timings at the scaled sfDir ---------------------------------
+    if (new java.io.File(sfDir).isDirectory) {
+      val s = session("local[32]", 32)
+      val (_, tIdx) = timed(graft.gate.Gate.indexDir(s, sfDir))
+      out += "gate_index_build_s" -> tIdx
+      val (_, tAnn) = timed {
+        graft.gate.Gate.annLshTable(s, sfDir)
+        graft.gate.Gate.annIvfTable(s, sfDir)
+        graft.gate.Gate.annPqTable(s, sfDir)
+      }
+      out += "gate_ann_build_s" -> tAnn
+      val (_, tSugg) = timed(graft.gate.Gate.suggestFreeDir(s, sfDir))
+      out += "gate_suggest_build_s" -> tSugg
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val (_, t) = timed {
+          try fn(s, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[sf1] $name: $e"); -1L }
+        }
+        out += s"gate_$name" -> t
+      }
+      s.stop()
+    }
+    flush(out, notes, turns, wall0, benchDir)
+  }
+
+  private def flush(out: LinkedHashMap[String, Double],
+                    notes: LinkedHashMap[String, String],
+                    turns: Long, wall0: Long, benchDir: String): Unit = {
+    val wall = (System.nanoTime() - wall0) / 1e9
+    val kv = out.map { case (k, v) => f""""$k":$v%.4f""" }.mkString(",")
+    val nv = notes.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val line =
+      f"""{"metric":"sf1_rehearsal","value":$wall%.1f,"unit":"sec","turns":$turns,"queries":{$kv},"notes":{$nv}}"""
+    new java.io.File(benchDir).mkdirs()
+    new java.io.File("BENCH_runs").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$benchDir/bench.json"), line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_runs/sf1_latest.json"), line)
+    println(line)
+  }
+}
