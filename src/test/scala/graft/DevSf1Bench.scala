@@ -66,15 +66,43 @@ object DevSf1Bench {
   def main(args: Array[String]): Unit = {
     val numConvs = args.headOption.map(_.toLong).getOrElse(10000000L)
     val sfDir = if (args.length > 1) args(1) else "target/testdata/sf1"
+    val resume = args.contains("resume")
     val out = LinkedHashMap[String, Double]()
     val notes = LinkedHashMap[String, String]()
     val benchDir = "target/bench-sf1"
-    val wall0 = System.nanoTime()
+    var wall0 = System.nanoTime()
+
+    // Resume: reload the metrics the last flush persisted so an interrupted
+    // run (e.g. the harness process dying mid-build) skips completed phases
+    // instead of re-paying the ~1h of corpus synth + scaling pairs. Parses
+    // our own flush format only; wall clock continues from the prior value.
+    if (resume) {
+      val p = java.nio.file.Paths.get("BENCH_runs/sf1_latest.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        def section(name: String): String = {
+          val tag = s""""$name":{"""
+          val i = txt.indexOf(tag)
+          if (i < 0) "" else txt.substring(i + tag.length, txt.indexOf("}", i + tag.length))
+        }
+        """"([A-Za-z0-9_]+)":(-?[0-9.Ee+]+)""".r.findAllMatchIn(section("queries"))
+          .foreach(m => out += m.group(1) -> m.group(2).toDouble)
+        """"([A-Za-z0-9_]+)":"([^"]*)"""".r.findAllMatchIn(section("notes"))
+          .foreach(m => notes += m.group(1) -> m.group(2))
+        val prevWall = """"value":(-?[0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(0.0)
+        wall0 -= (prevWall * 1e9).toLong
+        println(s"[resume] loaded ${out.size} metrics, ${notes.size} notes, prior wall ${prevWall}s")
+      }
+    }
 
     // ---- corpus synth (once, local[32]) -----------------------------------
     val corpusDir = s"$benchDir/turns"
     var turns = 0L
-    locally {
+    if (resume && out.contains("turns") && new java.io.File(corpusDir).isDirectory) {
+      turns = out("turns").toLong
+      println(s"[resume] reusing corpus at $corpusDir ($turns turns)")
+    } else {
       val s = session("local[32]", 256)
       val (_, tSynth) = timed {
         Transcripts.dataset(s, numConvs)
@@ -117,7 +145,18 @@ object DevSf1Bench {
       r._1
     }
 
-    // JIT warmup (untimed, small)
+    // Resume landing on a clean boundary: drop half-written/stale index dirs
+    // from the interrupted run and let the discard settle before any timed
+    // build (same sync+settle discipline as the mid-run delete below).
+    if (resume) {
+      (0 to 20).foreach { i =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$benchDir/index-$i")): Unit
+      }
+      try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(30000) }
+      catch { case _: Throwable => }
+    }
+
+    // JIT warmup (untimed, small) — always runs: a resumed JVM is cold too.
     locally {
       val s = session("local[8]", 32)
       import s.implicits._
@@ -128,22 +167,24 @@ object DevSf1Bench {
     }
 
     // ---- scaling: interleaved pairs (T8,T2),(T2,T8), docs+freqs ----------
-    val t8s = scala.collection.mutable.ArrayBuffer[Double]()
-    val t2s = scala.collection.mutable.ArrayBuffer[Double]()
-    t8s += record("build_local8_a", buildAt("local[8]", 32, positions = false))
-    t2s += record("build_local2_a", buildAt("local[2]", 8, positions = false))
-    t2s += record("build_local2_b", buildAt("local[2]", 8, positions = false))
-    t8s += record("build_local8_b", buildAt("local[8]", 32, positions = false))
-    val pairEffs = t8s.indices.map(i => (t2s(i) / t8s(i)) / 4.0)
-    out += "throughput_local2_turns_per_s" -> turns / t2s.min
-    out += "throughput_local8_turns_per_s" -> turns / t8s.min
-    out += "efficiency_n_to_4n" -> (t2s.min / t8s.min) / 4.0
-    out += "efficiency_median_pair" ->
-      pairEffs.sorted.apply(pairEffs.size / 2)
-    pairEffs.zipWithIndex.foreach { case (e, i) =>
-      out += s"pair_efficiency_${('a' + i).toChar}" -> e
-    }
-    flush(out, notes, turns, wall0, benchDir)
+    if (!out.contains("build_local8_b_s")) {
+      val t8s = scala.collection.mutable.ArrayBuffer[Double]()
+      val t2s = scala.collection.mutable.ArrayBuffer[Double]()
+      t8s += record("build_local8_a", buildAt("local[8]", 32, positions = false))
+      t2s += record("build_local2_a", buildAt("local[2]", 8, positions = false))
+      t2s += record("build_local2_b", buildAt("local[2]", 8, positions = false))
+      t8s += record("build_local8_b", buildAt("local[8]", 32, positions = false))
+      val pairEffs = t8s.indices.map(i => (t2s(i) / t8s(i)) / 4.0)
+      out += "throughput_local2_turns_per_s" -> turns / t2s.min
+      out += "throughput_local8_turns_per_s" -> turns / t8s.min
+      out += "efficiency_n_to_4n" -> (t2s.min / t8s.min) / 4.0
+      out += "efficiency_median_pair" ->
+        pairEffs.sorted.apply(pairEffs.size / 2)
+      pairEffs.zipWithIndex.foreach { case (e, i) =>
+        out += s"pair_efficiency_${('a' + i).toChar}" -> e
+      }
+      flush(out, notes, turns, wall0, benchDir)
+    } else println("[resume] scaling pairs already recorded, skipping")
 
     // Protocol-consistency spot-check: BASELINE.md's standing N->4N pair is
     // local[1] -> local[4] (the unsaturated pair every prior round measured;
@@ -151,11 +192,14 @@ object DevSf1Bench {
     // sf1 ties the rehearsal to that series — 2->8 alone would conflate pair
     // choice with scale (this VM's bandwidth saturation begins near 8
     // threads, round-2 study). ~35 min: T1 alone is ~26 min at 40 M turns.
-    val t4p = record("build_local4_a", buildAt("local[4]", 16, positions = false))
-    val t1p = record("build_local1_a", buildAt("local[1]", 4, positions = false))
-    out += "throughput_local1_turns_per_s" -> turns / t1p
-    out += "throughput_local4_turns_per_s" -> turns / t4p
-    out += "pair_efficiency_1to4" -> (t1p / t4p) / 4.0
+    if (!out.contains("pair_efficiency_1to4")) {
+      val t4p = record("build_local4_a", buildAt("local[4]", 16, positions = false))
+      val t1p = record("build_local1_a", buildAt("local[1]", 4, positions = false))
+      out += "throughput_local1_turns_per_s" -> turns / t1p
+      out += "throughput_local4_turns_per_s" -> turns / t4p
+      out += "pair_efficiency_1to4" -> (t1p / t4p) / 4.0
+      flush(out, notes, turns, wall0, benchDir)
+    } else println("[resume] 1->4 pair already recorded, skipping")
 
     // scaling indexes are never read again; at 40 M turns each is ~8 GB and
     // six of them would overrun the disk before the positional build lands.
