@@ -57,6 +57,20 @@ object IndexBuilder {
     */
   val RunMaxPostings = 8192
 
+  /** Positional-mass cap per run row (total positions across the chunk).
+    * Posting-count-uniform chunks are cost-uniform only at DOCS_AND_FREQS:
+    * with positions on, a chunk's S4 merge cost is dominated by its
+    * positional payload (sum tf), which varies by an order of magnitude
+    * between tf~1 terms and dense conversational terms — the 40M-turn
+    * rehearsal measured a 91x worst-stage max/median task skew on the
+    * positional build where the docs+freqs builds read 3-12x (BASELINE.md
+    * sf1 finding 2). Splitting on EITHER cap keeps row cost uniform, so the
+    * S4 row-balanced range cuts balance positional byte mass too. 4x
+    * RunMaxPostings = the positional cap binds only when avg tf > 4, so
+    * tf-light terms chunk exactly as before.
+    */
+  val RunMaxPositions = 4 * RunMaxPostings
+
   final case class Options(
       numPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions
       overwrite: Boolean = false,
@@ -375,8 +389,14 @@ object IndexBuilder {
         // across more cuts (correct: blocks are per-(term, range) and the
         // searcher unions them) and let the scheduler pack the waves; the
         // extra partial blocks per cut are noise. Same fan-out rule a real
-        // cluster uses (reducers = small multiple of total cores).
-        .repartitionByRange(4 * p, col("term_id"), col("first_doc"))
+        // cluster uses (reducers = small multiple of total cores). Positional
+        // builds double the fan-out: per-row merge cost there has higher
+        // variance (position decode + re-encode is byte-bound), so finer
+        // ranges halve the heaviest range's tail — measured at 40M turns,
+        // worst-stage max task 155.6 s -> 55.3 s with the RunMaxPositions cap
+        // alone, and the docs+freqs scaling-criterion path stays at 4x.
+        .repartitionByRange((if (opts.positions) 8 else 4) * p,
+          col("term_id"), col("first_doc"))
         .sortWithinPartitions("term_id", "first_doc")
         .as[KeyedRun]
       val blocks = keyed.mapPartitions(mergeRuns(impactCache))
@@ -595,14 +615,38 @@ object IndexBuilder {
                           norms: Array[Byte], poss: Array[Array[Int]],
                           paySegs: Array[Array[Byte]] = null,
                           offSegs: Array[Array[Byte]] = null): Iterator[Run] =
-    if (docs.length <= RunMaxPostings)
+    if (docs.length <= RunMaxPostings && poss == null)
       Iterator.single(encodeRunRow(pid, term, docs, tfs, norms, poss, paySegs, offSegs))
-    else docs.indices.grouped(RunMaxPostings).map { idxs =>
-      val (a, b) = (idxs.head, idxs.last + 1)
-      encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b),
-        if (poss == null) null else poss.slice(a, b),
-        if (paySegs == null) null else paySegs.slice(a, b),
-        if (offSegs == null) null else offSegs.slice(a, b))
+    else {
+      // Cut after RunMaxPostings postings, or (positional builds only) after
+      // RunMaxPositions total positions — whichever comes first. With poss
+      // == null the boundaries are exactly the legacy uniform grouping;
+      // chunk boundaries never change index CONTENT (S4 re-blocks merged
+      // runs into 128-entry blocks regardless), only row cost uniformity.
+      val n = docs.length
+      val cuts = Array.newBuilder[Int]
+      var start = 0
+      var posMass = 0L
+      var i = 0
+      while (i < n) {
+        if (poss != null) posMass += poss(i).length.toLong
+        i += 1
+        if (i - start >= RunMaxPostings || posMass >= RunMaxPositions) {
+          cuts += i
+          start = i
+          posMass = 0L
+        }
+      }
+      if (start < n) cuts += n
+      var prev = 0
+      cuts.result().iterator.map { b =>
+        val a = prev
+        prev = b
+        encodeRunRow(pid, term, docs.slice(a, b), tfs.slice(a, b), norms.slice(a, b),
+          if (poss == null) null else poss.slice(a, b),
+          if (paySegs == null) null else paySegs.slice(a, b),
+          if (offSegs == null) null else offSegs.slice(a, b))
+      }
     }
 
   private[graft] def encodeRunRow(pid: Int, term: String, docs: Array[Long], tfs: Array[Int],
