@@ -666,6 +666,26 @@ object Gate {
         .agg(countDistinct(col("source")).as("n_groups"),
           count(lit(1)).as("doc_cnt"))
         .orderBy("lang")),
+    "ft_group_block" -> ((s, d) => {
+      // BlockGroupingCollector (reference /root/reference/src/
+      // Lucene.Net.Grouping/BlockGroupingCollector.cs:36-56): top-N GROUPS
+      // ranked by each group's best hit, with the top-k docs inside each.
+      // One hash shuffle on the group key feeds both the within-group
+      // row_number and the group-max ranking; the 5-group winner set joins
+      // back broadcast-sized.
+      val base = hits(s, d, Seq("data"))
+        .groupBy("doc_id").agg(sum("s").as("sd"))
+        .select(col("doc_id"), q(col("sd")).as("score_q"))
+        .join(docsTable(s, d).select("doc_id", "source"), "doc_id")
+      val wDoc = Window.partitionBy("source").orderBy(desc("score_q"), asc("doc_id"))
+      val ranked = base.withColumn("rn", row_number().over(wDoc)).filter(col("rn") <= 2)
+      val groups = ranked.groupBy("source").agg(max("score_q").as("gmax"))
+        .orderBy(desc("gmax"), asc("source")).limit(5)
+      ranked.join(broadcast(groups), "source")
+        .select(col("source"), col("gmax"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("score_q"))
+        .orderBy(desc("gmax"), col("source"), col("rn"))
+    }),
     "ft_sort_field" -> ((s, d) =>
       // TopFieldCollector: top-k by a stored field, not by score
       // (/root/reference/src/Lucene.Net/Search/TopFieldCollector.cs:37;

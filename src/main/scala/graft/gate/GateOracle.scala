@@ -582,6 +582,22 @@ object GateOracle {
          |       count(*) AS doc_cnt
          |FROM documents d JOIN base USING (doc_id)
          |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "ft_group_block" ->
+      s"""$prelude, base AS (
+         |  SELECT doc_id, ${qz("sum(s)")} AS score_q
+         |  FROM sc WHERE term = 'data' GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT d.source, b.doc_id, b.score_q,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY b.score_q DESC, b.doc_id) AS rn
+         |  FROM base b JOIN documents d USING (doc_id)
+         |), topdocs AS (SELECT * FROM ranked WHERE rn <= 2),
+         |g AS (SELECT source, max(score_q) AS gmax FROM topdocs
+         |      GROUP BY source ORDER BY gmax DESC, source LIMIT 5)
+         |SELECT t.source AS source, g.gmax AS gmax, CAST(t.rn AS BIGINT) AS rn,
+         |       t.doc_id, t.score_q
+         |FROM topdocs t JOIN g USING (source)
+         |ORDER BY g.gmax DESC, t.source, t.rn""".stripMargin,
     "ft_sort_field" ->
       s"""$prelude
          |SELECT d.doc_id, d.n_chars FROM documents d
