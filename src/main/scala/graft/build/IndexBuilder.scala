@@ -65,11 +65,14 @@ object IndexBuilder {
     * rehearsal measured a 91x worst-stage max/median task skew on the
     * positional build where the docs+freqs builds read 3-12x (BASELINE.md
     * sf1 finding 2). Splitting on EITHER cap keeps row cost uniform, so the
-    * S4 row-balanced range cuts balance positional byte mass too. 4x
-    * RunMaxPostings = the positional cap binds only when avg tf > 4, so
-    * tf-light terms chunk exactly as before.
+    * S4 row-balanced range cuts balance positional byte mass too. Cap = 1x
+    * RunMaxPostings (binds once avg tf > 1): A/B'd against 4x on the same
+    * 40M corpus — merge-stage max task 44.1 -> 34.1 s (quiet window) and
+    * 81.8 -> 47.1 s (loaded window) for identical wall (161.0 vs 161.3 s
+    * quiet), because tf-dense rows split ~4x finer and the range cuts
+    * spread them; tf<=1 terms chunk identically under either value.
     */
-  val RunMaxPositions = 4 * RunMaxPostings
+  val RunMaxPositions = 1 * RunMaxPostings
 
   final case class Options(
       numPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions

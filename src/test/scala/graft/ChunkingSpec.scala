@@ -51,7 +51,7 @@ class ChunkingSpec extends AnyFunSuite {
     val pepperRuns = spark.read.parquet(s"$indexDir/runs")
       .filter(col("term") === "pepper").count()
     // 800 docs x 200 positions = 160k positions over 4 partitions = ~40k per
-    // partition > RunMaxPositions (32768) -> >= 2 rows per partition; the
+    // partition > RunMaxPositions (8192) -> >= 2 rows per partition; the
     // postings cap (8192 docs) alone would have produced exactly 4.
     assert(pepperRuns > 4, s"expected positional split, got $pepperRuns runs")
   }
