@@ -360,6 +360,10 @@ object Bench {
       // free-text suggester LM table is a build artifact too
       val (_, tSugg) = timed(Gate.suggestFreeDir(s, sfDir))
       out += "gate_suggest_build_s" -> tSugg
+      // sort-ordered early-termination store: build artifact, probe timed in
+      // ft_sort_early
+      val (_, tSorted) = timed(Gate.sortedStoreDir(s, sfDir))
+      out += "gate_sorted_build_s" -> tSorted
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val (_, t) = timed {
           try fn(s, sfDir).count()

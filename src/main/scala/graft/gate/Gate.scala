@@ -344,6 +344,60 @@ object Gate {
   def docsTable(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Bucket count for the sort-ordered early-termination store. Small
+    * enough that a bucket holds >> k docs at scale (5000 docs/bucket at
+    * sf0.1; a real deployment sizes buckets to segments), large enough that
+    * the widening loop is exercised at the small SFs (~16 docs/bucket).
+    */
+  final val SortStoreBuckets = 32
+
+  /** EarlyTerminatingSortingCollector's precondition, Spark-shaped: an
+    * index SORTED by the field at WRITE time (SortingMergePolicy,
+    * /root/reference/src/Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs:40),
+    * here a write-once parquet store range-partitioned by descending
+    * `n_chars` bucket (bucket 0 = the sort head) so a top-k-by-field query
+    * prunes to the leading partitions instead of scanning the table.
+    */
+  def sortedStoreDir(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(s"$sfDir#sorted", {
+      val name = new java.io.File(sfDir).getName
+      val dir = s"target/gate-index/$Version-sorted-$name"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val docs = docsTable(spark, sfDir).select(col("doc_id"), col("n_chars"))
+        val r = docs.agg(min("n_chars"), max("n_chars")).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val span = math.max(1L, hi - lo + 1)
+        docs.withColumn("bucket",
+            least(lit(SortStoreBuckets - 1),
+              (lit(hi) - col("n_chars")) * SortStoreBuckets / span).cast("int"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      }
+      dir
+    })
+
+  /** EarlyTerminatingSortingCollector analog
+    * (/root/reference/src/Lucene.Net.Misc/Index/Sorter/EarlyTerminatingSortingCollector.cs:59):
+    * top-k by a field over the sort-ordered store, terminating the scan
+    * after the leading partitions. The widening loop reads per-bucket
+    * parquet COUNTs (rowgroup metadata only, partition-pruned) until k rows
+    * are covered, then sorts just those buckets — every bucket <= the stop
+    * point dominates every later bucket by construction, so the result is
+    * exactly the global top-k while the data read is O(k), not O(N).
+    */
+  def sortEarly(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val store = cachedRelation(spark, s"$sfDir#sorted", sortedStoreDir(spark, sfDir))
+    var need = k.toLong
+    var stop = 0
+    while (need > 0 && stop < SortStoreBuckets) {
+      need -= store.filter(col("bucket") === stop).count()
+      stop += 1
+    }
+    store.filter(col("bucket") < stop) // PartitionFilters: bucket < stop
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .limit(k)
+  }
+
   // --------------------------- the query map -------------------------------
 
   /** All driver-facing queries. Names map 1:1 to [[GateOracle.sql]]. */
@@ -694,6 +748,7 @@ object Gate {
         .join(docsTable(s, d).select("doc_id", "n_chars"), "doc_id")
         .orderBy(desc("n_chars"), asc("doc_id"))
         .limit(10)),
+    "ft_sort_early" -> ((s, d) => sortEarly(s, d, 20)),
     "ft_facet_sum" -> ((s, d) =>
       // TaxonomyFacetSumValueSource: facet aggregation by expression
       // (/root/reference/src/Lucene.Net.Facet/Taxonomy/TaxonomyFacetSumValueSource.cs)

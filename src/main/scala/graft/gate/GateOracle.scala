@@ -603,6 +603,9 @@ object GateOracle {
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'stream')
          |ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""".stripMargin,
+    "ft_sort_early" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
     "ft_facet_sum" ->
       s"""$prelude
          |SELECT d.lang AS lang, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * header-only dimension read through the JDK's own `javax.imageio` (the
   * reader parses just the image header — IHDR / SOF / logical screen
   * descriptor — never the pixel payload, which is what makes per-row decode
-  * viable over billions of images). Audio/video decode remains a
-  * deterministic STUB behind the same seam ([[decodeStub]]) — those codecs
-  * are not in the JDK; a JNI/FFmpeg decoder slots into [[decode]] with the
-  * same (bytes in, typed meta out) contract.
+  * viable over billions of images). AUDIO container decode is REAL for the
+  * formats the JDK itself parses — WAV / AIFF / AU through
+  * `javax.sound.sampled.AudioSystem.getAudioFileFormat`, again header-only
+  * (the fmt/COMM chunk, never the sample payload). Only VIDEO and
+  * compressed-audio (mp3/ogg) decode remains a deterministic STUB behind
+  * the same seam ([[decodeStub]]) — those codecs are not in the JDK; a
+  * JNI/FFmpeg decoder slots into [[decode]] with the same
+  * (bytes in, typed meta out) contract.
   */
 object Media {
 
@@ -65,8 +69,45 @@ object Media {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** Sniff an audio container the JDK can parse from its magic bytes:
+    * RIFF/WAVE, FORM/AIFF(-C), Sun .snd AU.
+    */
+  def sniffAudio(bytes: Array[Byte]): Option[String] = {
+    def tag(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+    if (tag(0, "RIFF") && tag(8, "WAVE")) Some("wav")
+    else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) Some("aiff")
+    else if (tag(0, ".snd")) Some("au")
+    else None
+  }
+
+  /** Parsed audio header (no sample payload is read). `frames` is -1 when
+    * the container does not carry a frame count in its header.
+    */
+  final case class AudioMeta(kind: String, channels: Int, sampleRateHz: Int,
+                             frames: Long, durationMs: Long)
+
+  /** Real header-only audio decode for a sniffed WAV/AIFF/AU container via
+    * the JDK's `AudioSystem`. None for non-audio or corrupt headers (callers
+    * fall back to the stub) — a malformed row must never fail the batch.
+    */
+  def audioMeta(bytes: Array[Byte]): Option[AudioMeta] =
+    sniffAudio(bytes).flatMap { kind =>
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        val rate = math.round(f.getSampleRate)
+        val frames = aff.getFrameLength.toLong
+        val durMs =
+          if (frames >= 0 && rate > 0) math.round(frames * 1000.0 / rate) else -1L
+        Some(AudioMeta(kind, f.getChannels, rate, frames, durMs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Deterministic fake decode for the containers the JDK cannot parse
-    * (audio/video/unknown): sniffs a "container" from the leading byte and
+    * (video/compressed-audio/unknown): sniffs a "container" from the leading byte and
     * derives dimensions from stable byte statistics. The signature (bytes
     * in, typed meta out, no Spark types) is the deployment contract a real
     * codec drops into.
@@ -87,12 +128,16 @@ object Media {
     (kind, width, height)
   }
 
-  /** Full decode seam: real image header decode where the JDK can, stub
-    * elsewhere. Total — never throws on malformed bytes.
+  /** Full decode seam: real image/audio header decode where the JDK can,
+    * stub elsewhere. Total — never throws on malformed bytes. For audio the
+    * two dimension slots carry (channels, sampleRateHz) — the typed
+    * [[audioMeta]] accessor returns the full header including duration.
     */
   def decode(bytes: Array[Byte]): (String, Int, Int) =
     if (bytes.isEmpty) ("empty", 0, 0)
-    else imageDims(bytes).getOrElse(decodeStub(bytes))
+    else imageDims(bytes)
+      .orElse(audioMeta(bytes).map(a => (a.kind, a.channels, a.sampleRateHz)))
+      .getOrElse(decodeStub(bytes))
 
   /** Extract typed metadata for every row of (idCol: long, binCol: binary).
     * One decoder context per partition, streaming over the batch — the

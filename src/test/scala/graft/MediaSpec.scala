@@ -62,6 +62,44 @@ class MediaSpec extends AnyFunSuite {
     assert(meta(2).width >= 16) // stub fallback for non-image bytes
   }
 
+  test("real audio header decode: WAV, AIFF, AU via javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def encode(tpe: AudioFileFormat.Type, rateHz: Float, channels: Int,
+               nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz, 16, channels, true,
+        tpe != AudioFileFormat.Type.WAVE) // AIFF/AU are big-endian PCM
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0xff).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val wav = encode(AudioFileFormat.Type.WAVE, 16000f, 1, 16000 * 2) // 2 s mono
+    val aiff = encode(AudioFileFormat.Type.AIFF, 44100f, 2, 4410)     // 0.1 s stereo
+    assert(Media.sniffAudio(wav).contains("wav"))
+    assert(Media.sniffAudio(aiff).contains("aiff"))
+    assert(Media.sniffAudio("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    val wm = Media.audioMeta(wav).get
+    assert(wm == Media.AudioMeta("wav", 1, 16000, 32000L, 2000L))
+    val am = Media.audioMeta(aiff).get
+    assert(am.kind == "aiff" && am.channels == 2 && am.sampleRateHz == 44100 &&
+      am.frames == 4410L && am.durationMs == 100L)
+    val au = encode(AudioFileFormat.Type.AU, 8000f, 1, 800) // 0.1 s mono
+    assert(Media.audioMeta(au).get == Media.AudioMeta("au", 1, 8000, 800L, 100L))
+    // decode seam carries (channels, sampleRateHz) in the dimension slots
+    assert(Media.decode(wav) == ("wav", 1, 16000))
+    // truncated header: sniffs as wav but the parser fails -> stub, no throw
+    val (k, _, _) = Media.decode(wav.take(16))
+    assert(k.nonEmpty)
+    // end-to-end through the Spark batch path next to an image
+    val df = Seq((1L, wav), (2L, aiff)).toDF("doc_id", "media")
+    val meta = Media.extractMeta(df, "doc_id", "media").collect().sortBy(_.doc_id)
+    assert(meta(0).kind == "wav" && meta(0).width == 1 && meta(0).height == 16000)
+    assert(meta(1).kind == "aiff" && meta(1).width == 2 && meta(1).height == 44100)
+  }
+
   test("sampleFrames: offsets, bounds, count cap") {
     val bytes = Array.tabulate(100)(_.toByte)
     val frames = Media.sampleFrames(bytes, frameSize = 8, stride = 32, n = 5)
