@@ -471,6 +471,21 @@ object Gate {
     // under the driver's hard correctness signal.
     "ft_engine_term" -> ((s, d) =>
       engineTopk(s, d, graft.query.Query.Term("vector"), 10)),
+    "ft_multi_collector" -> ((s, d) => {
+      // MultiCollector(TopScoreDoc, TotalHitCount) analog: ONE pass — a
+      // CollectMetrics (observe) node under the top-k counts every scored
+      // row and tracks max score while the partial top-k consumes the same
+      // stream; the TopDocs-style sidecar is projected onto each hit row.
+      val searcher = new graft.query.Searcher(s, indexDir(s, d))
+      val (top, totals) = graft.query.Collectors.searchWithTotals(
+        searcher, graft.query.Query.Term("vector"), 10)
+      val maxQ = totals.maxScore
+        .map(m => math.floor(m.toDouble * 10000 + 0.5).toLong).getOrElse(0L)
+      import s.implicits._
+      top.toDF("doc_id", "score")
+        .select(col("doc_id"), q(col("score").cast("double")).as("score_q"),
+          lit(totals.totalHits).as("total_hits"), lit(maxQ).as("max_q"))
+    }),
     "ft_engine_or" -> ((s, d) =>
       engineTopk(s, d,
         graft.query.Query.Bool(should = Seq("spark", "window", "merge")), 10)),
@@ -1158,7 +1173,24 @@ object Gate {
         .limit(100)
     }),
     "sim_topk" -> ((s, d) => simTopk(s, d, 10)),
-    "sessionize" -> ((s, d) => sessionize(s, d))
+    "sessionize" -> ((s, d) => sessionize(s, d)),
+    "ft_percolate" -> ((s, d) => {
+      // Batch percolation (reference MemoryIndex.cs:159's stated use):
+      // a standing query pool broadcasts; each doc is analyzed once into a
+      // single-doc in-RAM index and matched in place — one narrow pass,
+      // no shuffle, no join. Output = (doc_id, query_id) match pairs.
+      import graft.query.Query
+      val pool: Seq[(String, Query)] = Seq(
+        "and_vector_search" -> Query.Bool(must = Seq("vector", "search")),
+        "phrase_fast_table" -> Query.Phrase(Seq("fast", "table")),
+        "mm2_spark_index_merge" -> Query.Bool(
+          should = Seq("spark", "index", "merge"), minShouldMatch = 2),
+        "data_not_merge" -> Query.Bool(
+          must = Seq("data"), mustNot = Seq("merge")))
+      graft.operators.Percolator
+        .percolate(docsTable(s, d), "doc_id", "text", pool)
+        .orderBy("query_id", "doc_id")
+    })
   )
 
   /** Run the float32 ENGINE ([[graft.query.Searcher]]) end-to-end and project

@@ -338,6 +338,38 @@ object GateOracle {
       s"""$fprelude
          |SELECT doc_id, ${qz("CAST(s AS DOUBLE)")} AS score_q
          |FROM fsc WHERE term = 'vector' ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_percolate" ->
+      s"""$prelude, m1 AS (
+         |  SELECT doc_id FROM tok WHERE term = 'vector'
+         |  INTERSECT SELECT doc_id FROM tok WHERE term = 'search'
+         |), m2 AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE a.t = 'fast' AND b.t = 'table'
+         |), m3 AS (
+         |  SELECT doc_id FROM tok WHERE term IN ('spark', 'index', 'merge')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+         |), m4 AS (
+         |  SELECT doc_id FROM tok WHERE term = 'data'
+         |  EXCEPT SELECT doc_id FROM tok WHERE term = 'merge'
+         |)
+         |SELECT doc_id, query_id FROM (
+         |  SELECT doc_id, 'and_vector_search' AS query_id FROM m1
+         |  UNION ALL SELECT doc_id, 'phrase_fast_table' FROM m2
+         |  UNION ALL SELECT doc_id, 'mm2_spark_index_merge' FROM m3
+         |  UNION ALL SELECT doc_id, 'data_not_merge' FROM m4
+         |) ORDER BY query_id, doc_id""".stripMargin,
+    "ft_multi_collector" ->
+      s"""$fprelude, hits AS (
+         |  SELECT doc_id, s FROM fsc WHERE term = 'vector'
+         |), tot AS (
+         |  SELECT count(*) AS total_hits, ${qz("CAST(max(s) AS DOUBLE)")} AS max_q
+         |  FROM hits
+         |)
+         |SELECT h.doc_id, ${qz("CAST(h.s AS DOUBLE)")} AS score_q,
+         |  t.total_hits, t.max_q
+         |FROM hits h CROSS JOIN tot t
+         |ORDER BY h.s DESC, h.doc_id LIMIT 10""".stripMargin,
     "ft_engine_or" ->
       s"""$fprelude, piv AS (
          |  SELECT doc_id,

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * viable over billions of images). AUDIO container decode is REAL for the
   * formats the JDK itself parses — WAV / AIFF / AU through
   * `javax.sound.sampled.AudioSystem.getAudioFileFormat`, again header-only
-  * (the fmt/COMM chunk, never the sample payload). Only VIDEO and
-  * compressed-audio (mp3/ogg) decode remains a deterministic STUB behind
-  * the same seam ([[decodeStub]]) — those codecs are not in the JDK; a
-  * JNI/FFmpeg decoder slots into [[decode]] with the same
-  * (bytes in, typed meta out) contract.
+  * (the fmt/COMM chunk, never the sample payload). VIDEO CONTAINER decode
+  * is REAL for ISO BMFF (MP4/MOV — `mvhd` duration, `tkhd` 16.16 track
+  * dimensions) and RIFF AVI (`avih` main header) via a pure-JVM byte walk
+  * of the published box/chunk formats. Only frame/pixel decode and
+  * compressed-audio (mp3/ogg) remain a deterministic STUB behind the same
+  * seam ([[decodeStub]]) — those codecs are not in the JDK; a JNI/FFmpeg
+  * decoder slots into [[decode]] with the same (bytes in, typed meta out)
+  * contract.
   */
 object Media {
 
@@ -106,6 +109,141 @@ object Media {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** Sniff a video container from its structural signature: ISO BMFF
+    * (`ftyp` box at offset 4 — MP4/MOV/3GP family) or RIFF AVI.
+    */
+  def sniffVideo(bytes: Array[Byte]): Option[String] = {
+    def tag(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+    if (tag(4, "ftyp")) Some("mp4")
+    else if (tag(0, "RIFF") && tag(8, "AVI ")) Some("avi")
+    else None
+  }
+
+  /** Parsed video header. Dimensions/duration are -1 when the header does
+    * not carry them (e.g. an MP4 with no video track header).
+    */
+  final case class VideoMeta(kind: String, width: Int, height: Int,
+                             durationMs: Long)
+
+  /** Real header-only video CONTAINER decode (published formats, pure-JVM
+    * byte walk — no codec is invoked and no sample payload is read):
+    *
+    *  - ISO BMFF (ISO/IEC 14496-12, the MP4/MOV family): walk the top-level
+    *    box chain to `moov`, read `mvhd` (timescale + duration, version
+    *    0/1) for duration and the first `trak/tkhd` carrying a nonzero
+    *    16.16 fixed-point width/height for dimensions.
+    *  - AVI (Microsoft RIFF): locate the `avih` main header chunk —
+    *    dwMicroSecPerFrame × dwTotalFrames for duration, dwWidth/dwHeight
+    *    for dimensions (all little-endian).
+    *
+    * None for non-video or corrupt headers (callers fall back to the stub)
+    * — a malformed row must never fail the batch. Frame DECODE (pixels)
+    * remains behind the [[decodeStub]] seam: that genuinely needs a codec
+    * library not present in the JDK.
+    */
+  def videoMeta(bytes: Array[Byte]): Option[VideoMeta] =
+    sniffVideo(bytes).flatMap { kind =>
+      try {
+        val m = if (kind == "mp4") mp4Meta(bytes) else aviMeta(bytes)
+        m.map { case (w, h, dur) => VideoMeta(kind, w, h, dur) }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk ISO BMFF boxes in [from, to) invoking f(type, payloadFrom,
+    * payloadTo); honors 64-bit largesize (size==1) and to-end (size==0).
+    */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+                       (f: (String, Int, Int) => Unit): Unit = {
+    var off = from
+    while (off + 8 <= to) {
+      val size0 = be32(b, off)
+      val typ = fourcc(b, off + 4)
+      val payload: Long =
+        if (size0 == 1L && off + 16 <= to) off + 16L else off + 8L
+      val end: Long =
+        if (size0 == 1L && off + 16 <= to) off + be64(b, off + 8)
+        else if (size0 == 0L) to.toLong
+        else off + size0
+      if (end < payload || end > to) return // corrupt size: stop the walk
+      f(typ, payload.toInt, end.toInt)
+      off = end.toInt
+    }
+  }
+
+  private def mp4Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var durMs = -1L
+    var w = -1
+    var h = -1
+    walkBoxes(b, 0, b.length) { (typ, p, e) =>
+      if (typ == "moov") walkBoxes(b, p, e) { (t2, p2, e2) =>
+        if (t2 == "mvhd" && durMs < 0 && e2 - p2 >= 20) {
+          val version = b(p2) & 0xff
+          // v0: ver/flags 4, creation 4, modification 4, timescale 4, duration 4
+          // v1: ver/flags 4, creation 8, modification 8, timescale 4, duration 8
+          val (ts, dur) =
+            if (version == 1 && e2 - p2 >= 32)
+              (be32(b, p2 + 20), be64(b, p2 + 24))
+            else (be32(b, p2 + 12), be32(b, p2 + 16))
+          if (ts > 0) durMs = math.round(dur * 1000.0 / ts)
+        } else if (t2 == "trak" && w < 0) walkBoxes(b, p2, e2) { (t3, p3, e3) =>
+          if (t3 == "tkhd" && w < 0) {
+            val version = b(p3) & 0xff
+            // width/height are the LAST 8 payload bytes, 16.16 fixed-point,
+            // for both versions — index from the end, not the front.
+            val need = if (version == 1) 92 else 80
+            if (e3 - p3 >= need) {
+              val wi = (be32(b, e3 - 8) >> 16).toInt
+              val hi = (be32(b, e3 - 4) >> 16).toInt
+              if (wi > 0 && hi > 0) { w = wi; h = hi } // skip audio tracks (0×0)
+            }
+          }
+        }
+      }
+    }
+    if (durMs >= 0 || w > 0) Some((w, h, durMs)) else None
+  }
+
+  private def aviMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    // RIFF chunk walk from offset 12 (past "RIFF"+size+"AVI "): chunks are
+    // fourcc + LE size + payload (word-aligned); LIST chunks nest after a
+    // 4-byte list type. avih payload: dwMicroSecPerFrame@0, dwTotalFrames@16,
+    // dwWidth@32, dwHeight@36 (all LE).
+    var out: Option[(Int, Int, Long)] = None
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to && out.isEmpty) {
+        val id = fourcc(b, off)
+        val sz = le32(b, off + 4).toInt
+        val p = off + 8
+        val e = math.min(p.toLong + sz, to.toLong).toInt
+        if (id == "LIST" && e - p >= 4) walk(p + 4, e)
+        else if (id == "avih" && e - p >= 40) {
+          val usPerFrame = le32(b, p)
+          val frames = le32(b, p + 16)
+          val w = le32(b, p + 32).toInt
+          val h = le32(b, p + 36).toInt
+          out = Some((w, h, math.round(usPerFrame * frames / 1000.0)))
+        }
+        off = p + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    out
+  }
+
   /** Deterministic fake decode for the containers the JDK cannot parse
     * (video/compressed-audio/unknown): sniffs a "container" from the leading byte and
     * derives dimensions from stable byte statistics. The signature (bytes
@@ -128,15 +266,17 @@ object Media {
     (kind, width, height)
   }
 
-  /** Full decode seam: real image/audio header decode where the JDK can,
-    * stub elsewhere. Total — never throws on malformed bytes. For audio the
-    * two dimension slots carry (channels, sampleRateHz) — the typed
-    * [[audioMeta]] accessor returns the full header including duration.
+  /** Full decode seam: real image/audio/video-container header decode where
+    * a published pure-JVM parse exists, stub elsewhere. Total — never throws
+    * on malformed bytes. For audio the two dimension slots carry
+    * (channels, sampleRateHz) — the typed [[audioMeta]] / [[videoMeta]]
+    * accessors return the full headers including duration.
     */
   def decode(bytes: Array[Byte]): (String, Int, Int) =
     if (bytes.isEmpty) ("empty", 0, 0)
     else imageDims(bytes)
       .orElse(audioMeta(bytes).map(a => (a.kind, a.channels, a.sampleRateHz)))
+      .orElse(videoMeta(bytes).map(v => (v.kind, v.width, v.height)))
       .getOrElse(decodeStub(bytes))
 
   /** Extract typed metadata for every row of (idCol: long, binCol: binary).

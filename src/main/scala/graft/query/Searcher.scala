@@ -91,6 +91,12 @@ final class Searcher(val spark: SparkSession, indexDir: String,
   def search(q: Query, k: Int): DataFrame =
     live(scoreAll(q)).orderBy(desc("score"), asc("doc_id")).limit(k)
 
+  /** Every matching (doc_id, score) row, liveDocs applied — the scorer
+    * stream collectors consume: [[Collectors.searchWithTotals]] observes it
+    * in one pass, a caching collector persists it for replay.
+    */
+  def scoredDocs(q: Query): DataFrame = live(scoreAll(q))
+
   /** True when the query cannot lower to one flat weighted-term clause list
     * (BooleanQuery-in-BooleanQuery / phrase clauses).
     */

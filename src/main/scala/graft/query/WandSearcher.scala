@@ -6,6 +6,7 @@ import graft.score.Bm25
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
+import WandSearcher.ubD
 
 /** Block-max pruned top-k search — the north rule's "block-max WAND scoring"
   * realized for a term-range-partitioned columnar postings layout.
@@ -108,12 +109,6 @@ final class WandSearcher(spark: SparkSession, indexDir: String,
       base.search(other, k)
   }
 
-  /** Double-precision per-term upper bound from (max_tf, max_nb) metadata. */
-  private def ubD(w: Bm25.TermWeight, maxTf: Int, maxNb: Int): Double = {
-    val c = w.cache(maxNb & 0xff).toDouble
-    if (c.isInfinity) 0.0
-    else w.weightValue.toDouble * maxTf / (maxTf + c)
-  }
 
   /** Minimum estimated scan size (in posting blocks, summed over the query's
     * present terms) before a theta-seed job runs. DEFAULT OFF (MaxValue):
@@ -654,5 +649,22 @@ final class WandSearcher(spark: SparkSession, indexDir: String,
     combined.toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+}
+
+object WandSearcher {
+  /** Double-precision per-term upper bound from (max_tf, max_nb) metadata.
+    * Lives on the COMPANION so the bound lambdas shipped to executors
+    * capture only the TermWeight — as an instance method every
+    * `(maxTf, maxNb) => ubD(tw, ...)` closure dragged `this` (and through
+    * `base.spark` the whole SparkSession) into the broadcast, which
+    * deserialized by luck only while the session's lazily-created
+    * non-serializable fields (e.g. the observation manager) were still
+    * null.
+    */
+  private[query] def ubD(w: Bm25.TermWeight, maxTf: Int, maxNb: Int): Double = {
+    val c = w.cache(maxNb & 0xff).toDouble
+    if (c.isInfinity) 0.0
+    else w.weightValue.toDouble * maxTf / (maxTf + c)
   }
 }

@@ -100,6 +100,54 @@ class MediaSpec extends AnyFunSuite {
     assert(meta(1).kind == "aiff" && meta(1).width == 2 && meta(1).height == 44100)
   }
 
+  test("real video container decode: MP4 (ISO BMFF) and AVI headers") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def be(i: Long): Array[Byte] =
+      ByteBuffer.allocate(4).putInt(i.toInt).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // spec-sized mvhd v0: fullbox(4) cre(4) mod(4) timescale(4) duration(4)
+    // rate(4) vol(2) rsv(10) matrix(36) predefined(24) nextTrack(4) = 100
+    val mvhd = box("mvhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(5000) ++
+      new Array[Byte](100 - 20))
+    // spec-sized tkhd v0: 84-byte payload, width/height are the LAST 8 bytes
+    // as 16.16 fixed-point
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      new Array[Byte](84 - 8) ++ be(w.toLong << 16) ++ be(h.toLong << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0))
+    val mp4 = ftyp ++ box("moov",
+      mvhd ++ box("trak", tkhd(0, 0)) ++ box("trak", tkhd(640, 360)))
+    assert(Media.sniffVideo(mp4).contains("mp4"))
+    // audio track (0x0) is skipped; duration = 5000/1000 s in ms
+    assert(Media.videoMeta(mp4).get == Media.VideoMeta("mp4", 640, 360, 5000L))
+    assert(Media.decode(mp4) == ("mp4", 640, 360))
+
+    def le(i: Long): Array[Byte] = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(i.toInt).array()
+    // avih: usPerFrame@0 totalFrames@16 width@32 height@36, 56-byte payload
+    val avih = "avih".getBytes("US-ASCII") ++ le(56) ++
+      (le(33333) ++ new Array[Byte](12) ++ le(300) ++ new Array[Byte](12) ++
+        le(320) ++ le(240) ++ new Array[Byte](16))
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4L + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(4L + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+    assert(Media.sniffVideo(avi).contains("avi"))
+    // 33333 us/frame x 300 frames = 9999.9 ms, rounded
+    assert(Media.videoMeta(avi).get == Media.VideoMeta("avi", 320, 240, 10000L))
+
+    // corrupt: sniffs as mp4 but box sizes are garbage -> stub, no throw
+    val corrupt = mp4.take(8) ++ Array.fill[Byte](8)(0x7f)
+    assert(Media.videoMeta(corrupt).isEmpty)
+    val (k, _, _) = Media.decode(corrupt)
+    assert(k.nonEmpty)
+    // end-to-end through the Spark batch path
+    val df = Seq((1L, mp4), (2L, avi)).toDF("doc_id", "media")
+    val meta = Media.extractMeta(df, "doc_id", "media").collect().sortBy(_.doc_id)
+    assert(meta(0).kind == "mp4" && meta(0).width == 640 && meta(0).height == 360)
+    assert(meta(1).kind == "avi" && meta(1).width == 320 && meta(1).height == 240)
+  }
+
   test("sampleFrames: offsets, bounds, count cap") {
     val bytes = Array.tabulate(100)(_.toByte)
     val frames = Media.sampleFrames(bytes, frameSize = 8, stride = 32, n = 5)
