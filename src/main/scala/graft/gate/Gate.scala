@@ -429,6 +429,39 @@ object Gate {
     ("bough", "P", "P"), ("hunger", "HNKR", "HNJR"),
     ("svobodka", "SFPT", "SFPT"))
 
+  /** (encoder, word, expected key) — reference test-suite vectors for the
+    * remaining commons-codec encoders (NysiisTest.cs dropby table,
+    * RefinedSoundexTest.cs, Caverphone2Test.cs, ColognePhoneticTest.cs,
+    * MatchRatingApproachEncoderTest.cs; mra_cmp rows are IsEncodeEquals
+    * pairs joined by '|'). The ENGINE reads only (encoder, word) and must
+    * re-derive the keys; the expected keys feed the oracle VALUES table
+    * verbatim. Full golden coverage in PhoneticSpec.
+    */
+  val phoneticSlate: Seq[(String, String, String)] = Seq(
+    ("nysiis", "MACINTOSH", "MCANT"), ("nysiis", "KNUTH", "NAT"),
+    ("nysiis", "PHILLIPSON", "FALAPSAN"), ("nysiis", "PFEISTER", "FASTAR"),
+    ("nysiis", "SCHOENHOEFT", "SANAFT"), ("nysiis", "HEITSCHMIDT", "HATSNAD"),
+    ("nysiis", "WESTERLUND", "WASTARLAD"), ("nysiis", "CASSTEVENS", "CASTAFAN"),
+    ("nysiis", "VASQUEZ", "VASG"), ("nysiis", "YAMADA", "YANAD"),
+    ("nysiis", "MCKNIGHT", "MCNAGT"), ("nysiis", "DEUTSCH", "DAT"),
+    ("refined", "testing", "T6036084"), ("refined", "quick", "Q503"),
+    ("refined", "brown", "B1908"), ("refined", "jumped", "J408106"),
+    ("refined", "lazy", "L7050"), ("refined", "dogs", "D6043"),
+    ("caverphone2", "Stevenson", "STFNSN1111"), ("caverphone2", "Peter", "PTA1111111"),
+    ("caverphone2", "Karleen", "KLN1111111"), ("caverphone2", "earth", "AT11111111"),
+    ("caverphone2", "social", "SSA1111111"), ("caverphone2", "mbmb", "MPM1111111"),
+    ("cologne", "schmidt", "862"), ("cologne", "schneider", "8627"),
+    ("cologne", "wagner", "3467"), ("cologne", "hoffmann", "0366"),
+    ("cologne", "Breschnew", "17863"), ("cologne", "Wikipedia", "3412"),
+    ("cologne", "christstollen", "478256"), ("cologne", "Xanthippe", "48621"),
+    ("cologne", "Eberhardt", "01772"), ("cologne", "heithabu", "021"),
+    ("mra", "HARPER", "HRPR"), ("mra", "Smith", "SMTH"),
+    ("mra", "Smyth", "SMYTH"), ("mra", "Catherine", "CTHRN"),
+    ("mra_cmp", "smith|smyth", "true"), ("mra_cmp", "Catherine|Kathryn", "true"),
+    ("mra_cmp", "Burns|Bourne", "true"), ("mra_cmp", "Micky|Michael", "true"),
+    ("mra_cmp", "Karl|Alessandro", "false"), ("mra_cmp", "Al|Ed", "false"),
+    ("mra_cmp", "Peterson|Peters", "true"), ("mra_cmp", "LIPSHITZ|LIPPSZYC", "true"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- index validation (termdict / norms / stats / postings content) ----
     "ft_termdict" -> ((s, d) => {
@@ -1109,6 +1142,35 @@ object Gate {
         }
         .toDF("word", "dm_primary", "dm_alternate")
         .orderBy("word")
+    }),
+    "text_phonetic" -> ((s, d) => {
+      // NYSIIS (relaxed), RefinedSoundex, Caverphone 2.0, Kölner Phonetik
+      // and MatchRatingApproach encode+compare (reference
+      // Lucene.Net.Analysis.Phonetic/Language/*.cs via the encoder-generic
+      // PhoneticFilter seam): the
+      // engine re-derives every key DISTRIBUTED via the same
+      // TokenFilters.phonetic(terms, inject, encode) path the analyzer
+      // chain uses; the oracle carries the reference suites' expected keys.
+      import s.implicits._
+      import graft.analysis.{PhoneticEncoders => PE, TokenFilters}
+      s.createDataset(phoneticSlate.map { case (e, w, _) => (e, w) }).repartition(4)
+        .mapPartitions { it =>
+          it.map { case (enc, w) =>
+            val f: String => String = enc match {
+              case "nysiis"  => PE.nysiis(_, strict = false)
+              case "refined" => PE.refinedSoundex
+              case "cologne" => PE.cologne
+              case "mra"     => PE.mra
+              case "mra_cmp" => w => {
+                val Array(a, b) = w.split('|'); PE.mraEquals(a, b).toString
+              }
+              case _         => PE.caverphone2
+            }
+            (enc, w, TokenFilters.phonetic(Array(w), inject = false, f)(0))
+          }
+        }
+        .toDF("encoder", "word", "key")
+        .orderBy("encoder", "word")
     }),
     "text_soundex" -> ((s, d) => {
       // Phonetic key clustering over the term dictionary: top soundex

@@ -957,6 +957,18 @@ object GateOracle {
          |) AS t(word, dm_primary, dm_alternate)
          |ORDER BY word""".stripMargin
     },
+    "text_phonetic" -> {
+      // expected keys verbatim from the reference's NysiisTest /
+      // RefinedSoundexTest / Caverphone2Test vectors; the engine gate reads
+      // only (encoder, word) and must re-derive them
+      val rows = Gate.phoneticSlate
+        .map { case (e, w, k) => s"('$e', '$w', '$k')" }
+        .mkString(",\n|       ")
+      s"""SELECT * FROM (VALUES
+         |       $rows
+         |) AS t(encoder, word, key)
+         |ORDER BY encoder, word""".stripMargin
+    },
     "text_soundex" ->
       s"""$prelude, sdx AS (
          |  SELECT term, df, CASE WHEN u = '' THEN '' ELSE

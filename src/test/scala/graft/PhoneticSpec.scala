@@ -58,4 +58,159 @@ class PhoneticSpec extends AnyFunSuite {
     assert(TokenFilters.phonetic(terms, inject = false).toSeq ==
       Seq("R163", "3.14"))
   }
+
+  test("nysiis: reference vectors (relaxed mode, NysiisTest.cs dropby + rule tables)") {
+    import graft.analysis.PhoneticEncoders.nysiis
+    val golden = Seq(
+      // dropby.com table as carried by the reference's NysiisTest.TestDropBy
+      "MACINTOSH" -> "MCANT", "KNUTH" -> "NAT", "KOEHN" -> "CAN",
+      "PHILLIPSON" -> "FALAPSAN", "PFEISTER" -> "FASTAR",
+      "SCHOENHOEFT" -> "SANAFT", "MCKEE" -> "MCY", "MACKIE" -> "MCY",
+      "HEITSCHMIDT" -> "HATSNAD", "BART" -> "BAD", "HURD" -> "HAD",
+      "HUNT" -> "HAD", "WESTERLUND" -> "WASTARLAD", "CASSTEVENS" -> "CASTAFAN",
+      "VASQUEZ" -> "VASG", "FRAZIER" -> "FRASAR", "BOWMAN" -> "BANAN",
+      "MCKNIGHT" -> "MCNAGT", "RICKERT" -> "RACAD", "DEUTSCH" -> "DAT",
+      "WESTPHAL" -> "WASTFAL", "SHRIVER" -> "SRAVAR", "KUHL" -> "CAL",
+      "RAWSON" -> "RASAN", "JILES" -> "JAL", "CARRAWAY" -> "CARY",
+      "YAMADA" -> "YANAD", "O'Daniel" -> "ODANAL", "O'Donnel" -> "ODANAL",
+      "Cory" -> "CARY", "Corey" -> "CARY", "Kory" -> "CARY", "FUZZY" -> "FASY",
+      // per-rule tables (TestRule1/2/4/5/6)
+      "MACX" -> "MCX", "KNX" -> "NX", "KX" -> "CX", "PHX" -> "FX",
+      "PFX" -> "FX", "SCHX" -> "SX", "XEE" -> "XY", "XIE" -> "XY",
+      "XDT" -> "XD", "XRT" -> "XD", "XRD" -> "XD", "XNT" -> "XD",
+      "XND" -> "XD", "XEV" -> "XAF", "XAX" -> "XAX", "XEX" -> "XAX",
+      "XIX" -> "XAX", "XOX" -> "XAX", "XUX" -> "XAX", "XQ" -> "XG",
+      "XZ" -> "X", "XM" -> "XN", "XS" -> "X", "XSS" -> "X")
+    golden.foreach { case (in, want) =>
+      assert(nysiis(in, strict = false) == want, s"nysiis($in)")
+    }
+    // strict mode caps at 6 (the 1970 scheme); EncodeAll vectors are strict
+    Seq("Brian", "Brown", "Brun").foreach(w => assert(nysiis(w) == "BRAN", w))
+    Seq("Capp", "Cope", "Copp", "Kipp").foreach(w => assert(nysiis(w) == "CAP", w))
+    Seq("Dane", "Dean", "Dionne").foreach(w => assert(nysiis(w) == "DAN", w))
+    assert(nysiis("Dent") == "DAD")
+    assert(nysiis("Phil") == "FAL")
+    assert(nysiis("WESTERLUND") == "WASTAR") // 6-char cap of WASTARLAD
+    assert(nysiis("") == "" && nysiis(null) == "" && nysiis("1234") == "")
+  }
+
+  test("refined soundex: reference vectors (RefinedSoundexTest.cs)") {
+    import graft.analysis.PhoneticEncoders.refinedSoundex
+    val golden = Map(
+      "testing" -> "T6036084", "TESTING" -> "T6036084", "The" -> "T60",
+      "quick" -> "Q503", "brown" -> "B1908", "fox" -> "F205",
+      "jumped" -> "J408106", "over" -> "O0209", "the" -> "T60",
+      "lazy" -> "L7050", "dogs" -> "D6043")
+    golden.foreach { case (in, want) =>
+      assert(refinedSoundex(in) == want, s"refinedSoundex($in)")
+    }
+    assert(refinedSoundex("") == "" && refinedSoundex(null) == "")
+  }
+
+  test("caverphone2: reference vectors (Caverphone2Test.cs)") {
+    import graft.analysis.PhoneticEncoders.caverphone2
+    // encoding-variation groups + examples from the reference test suite
+    Seq("add", "aid", "at", "art", "eat", "earth", "head", "hit", "hot",
+      "hold", "hard", "heart", "it", "out", "old")
+      .foreach(w => assert(caverphone2(w) == "AT11111111", w))
+    Seq("Karleen", "Glenn", "Cline", "Klein", "Colleen", "Xylon")
+      .foreach(w => assert(caverphone2(w) == "KLN1111111", w))
+    Seq("Dan", "Dane", "Dawn", "Dean", "Dyun")
+      .foreach(w => assert(caverphone2(w) == "TN11111111", w))
+    val golden = Map(
+      "Stevenson" -> "STFNSN1111", "Peter" -> "PTA1111111",
+      "Tedder" -> "TTA1111111", "ready" -> "RTA1111111",
+      "social" -> "SSA1111111", "able" -> "APA1111111",
+      "mb" -> "M111111111", "mbmb" -> "MPM1111111")
+    golden.foreach { case (in, want) =>
+      assert(caverphone2(in) == want, s"caverphone2($in)")
+    }
+    assert(caverphone2("") == "1111111111" && caverphone2(null) == "1111111111")
+    // case-insensitive
+    assert(caverphone2("STEVENSON") == caverphone2("stevenson"))
+  }
+
+  test("cologne phonetic: reference vectors (ColognePhoneticTest.cs)") {
+    import graft.analysis.PhoneticEncoders.cologne
+    val edge = Seq(
+      "a" -> "0", "e" -> "0", "i" -> "0", "o" -> "0", "u" -> "0",
+      "ä" -> "0", "ö" -> "0", "ü" -> "0", // ä ö ü
+      "aa" -> "0", "ha" -> "0", "h" -> "", "aha" -> "0",
+      "b" -> "1", "p" -> "1", "ph" -> "3", "f" -> "3", "v" -> "3", "w" -> "3",
+      "g" -> "4", "k" -> "4", "q" -> "4", "x" -> "48", "ax" -> "048",
+      "cx" -> "48", "l" -> "5", "cl" -> "45", "acl" -> "085", "mn" -> "6",
+      "r" -> "7")
+    val examples = Seq(
+      "Aabjoe" -> "01", "Aaclan" -> "0856", "Aychlmajr" -> "04567",
+      "mÜller" -> "657", "schmidt" -> "862", "schneider" -> "8627",
+      "fischer" -> "387", "weber" -> "317", "wagner" -> "3467",
+      "becker" -> "147", "hoffmann" -> "0366", "schÄfer" -> "837",
+      "Breschnew" -> "17863", "Wikipedia" -> "3412", "peter" -> "127",
+      "pharma" -> "376", "mönchengladbach" -> "664645214",
+      "deutsch" -> "28", "deutz" -> "28", "hamburg" -> "06174",
+      "hannover" -> "0637", "christstollen" -> "478256",
+      "Xanthippe" -> "48621", "Zacharias" -> "8478", "Holzbau" -> "0581",
+      "matsch" -> "68", "matz" -> "68", "Arbeitsamt" -> "071862",
+      "Eberhard" -> "01772", "Eberhardt" -> "01772", "heithabu" -> "021",
+      "bergisch-gladbach" -> "174845214",
+      "Müller-Lüdenscheidt" -> "65752682")
+    (edge ++ examples).foreach { case (in, want) =>
+      assert(cologne(in) == want, s"cologne($in)")
+    }
+    assert(cologne(null) == "" && cologne("") == "")
+  }
+
+  test("match rating approach: reference vectors (MatchRatingApproachEncoderTest.cs)") {
+    import graft.analysis.PhoneticEncoders._
+    assert(mra("HARPER") == "HRPR" && mra("Smith") == "SMTH" &&
+      mra("Smyth") == "SMYTH")
+    assert(mra(" ") == "" && mra("") == "" && mra(null) == "" && mra("E") == "")
+    // internals pinned by the reference suite
+    assert(mraRemoveAccents("áéíóú") == "aeiou")
+    assert(mraRemoveAccents("Colorless green ideas sleep furiously") ==
+      "Colorless green ideas sleep furiously")
+    assert(mraRemoveVowels("ALESSANDRA") == "ALSSNDR")
+    assert(mraRemoveVowels("AIDAN") == "ADN")
+    assert(mraRemoveVowels("DECLAN") == "DCLN")
+    assert(mraRemoveDoubleConsonants("BUBBLE") == "BUBLE")
+    assert(mraRemoveDoubleConsonants("MISSISSIPPI") == "MISISIPI")
+    assert(mraRemoveDoubleConsonants("BEETLE") == "BEETLE")
+    assert(mraFirst3Last3("Alexzander") == "Aleder")
+    assert(mraFirst3Last3("PETE") == "PETE")
+    assert(mraCount("ALEXANDER", "ALEXANDRA") == 4)
+    assert(mraCount("EINSTEIN", "MICHAELA") == 0)
+    Seq(1 -> 5, 2 -> 5, 4 -> 5, 5 -> 4, 6 -> 4, 7 -> 4, 8 -> 3, 10 -> 3,
+      11 -> 3, 12 -> 2, 13 -> 1).foreach { case (n, want) =>
+      assert(mraMinRating(n) == want, s"minRating($n)")
+    }
+    val yes = Seq("John" -> "John", "smith" -> "smyth", "Burns" -> "Bourne",
+      "Catherine" -> "Kathryn", "Brian" -> "Bryan", "Séan" -> "Shaun",
+      "Stephen" -> "Steven", "Steven" -> "Stefan", "Stephen" -> "Stefan",
+      "Sam" -> "Samuel", "Micky" -> "Michael", "Oona" -> "Oonagh",
+      "Sophie" -> "Sofia", "Franciszek" -> "Frances", "Tomasz" -> "tom",
+      "Kl" -> "Karl", "Zach" -> "Zacharia",
+      "O'Sullivan" -> "Ó ' Súilleabháin",
+      "Cooper-Flynn" -> "Super-Lyn", "Hailey" -> "Halley",
+      "Auerbach" -> "Uhrbach", "Moskowitz" -> "Moskovitz",
+      "LIPSHITZ" -> "LIPPSZYC", "LEWINSKY" -> "LEVINSKI",
+      "SZLAMAWICZ" -> "SHLAMOVITZ", "Peterson" -> "Peters",
+      "McGowan" -> "Mc Geoghegan")
+    yes.foreach { case (a, b) => assert(mraEquals(a, b), s"$a ~ $b") }
+    val no = Seq("Al" -> "Ed", "Karl" -> "C", "Karl" -> "Alessandro",
+      "Úna" -> "Oonagh", "Moriarty" -> "OMuircheartaigh",
+      "test" -> "", "" -> "test", "test" -> " ", " " -> "test",
+      "t" -> "test", "test" -> "t", "Murphy" -> " ")
+    no.foreach { case (a, b) => assert(!mraEquals(a, b), s"$a !~ $b") }
+    assert(!mraEquals(null, "test") && !mraEquals("test", null) &&
+      !mraEquals(null, " "))
+  }
+
+  test("phonetic filter: pluggable encoder seam") {
+    import graft.analysis.PhoneticEncoders
+    val terms = Array("Stevenson", "Peter")
+    assert(TokenFilters.phonetic(terms, inject = false, PhoneticEncoders.caverphone2).toSeq ==
+      Seq("STFNSN1111", "PTA1111111"))
+    assert(TokenFilters.phonetic(terms, inject = true, PhoneticEncoders.nysiis(_)).toSeq ==
+      Seq("Stevenson", "STAFAN", "Peter", "PATAR"))
+  }
 }
