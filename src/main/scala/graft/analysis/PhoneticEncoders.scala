@@ -319,4 +319,164 @@ object PhoneticEncoders {
     if (math.abs(c1.length - c2.length) >= 3) return false
     mraCount(c1, c2) >= mraMinRating(c1.length + c2.length)
   }
+
+  // --------------------------------------------- Daitch-Mokotoff Soundex
+
+  /** The published Daitch-Mokotoff rule table (commons-codec dmrules.txt as
+    * shipped by the reference at .../Language/dmrules.txt): for each pattern,
+    * (replacement at word start, before a vowel, otherwise); '|' separates
+    * branching alternatives.
+    */
+  private final val DmRuleTable: Array[(String, String, String, String)] = Array(
+    ("a","0","",""), ("e","0","",""), ("i","0","",""),
+    ("o","0","",""), ("u","0","",""), ("b","7","7","7"),
+    ("d","3","3","3"), ("f","7","7","7"), ("g","5","5","5"),
+    ("h","5","5",""), ("k","5","5","5"), ("l","8","8","8"),
+    ("m","6","6","6"), ("n","6","6","6"), ("p","7","7","7"),
+    ("q","5","5","5"), ("r","9","9","9"), ("s","4","4","4"),
+    ("t","3","3","3"), ("v","7","7","7"), ("w","7","7","7"),
+    ("x","5","54","54"), ("y","1","",""), ("z","4","4","4"),
+    ("ţ","3|4","3|4","3|4"), ("ț","3|4","3|4","3|4"), ("ę","","","|6"),
+    ("ą","","","|6"), ("schtsch","2","4","4"), ("schtsh","2","4","4"),
+    ("schtch","2","4","4"), ("shtch","2","4","4"), ("shtsh","2","4","4"),
+    ("stsch","2","4","4"), ("ttsch","4","4","4"), ("zhdzh","2","4","4"),
+    ("shch","2","4","4"), ("scht","2","43","43"), ("schd","2","43","43"),
+    ("stch","2","4","4"), ("strz","2","4","4"), ("strs","2","4","4"),
+    ("stsh","2","4","4"), ("szcz","2","4","4"), ("szcs","2","4","4"),
+    ("ttch","4","4","4"), ("tsch","4","4","4"), ("ttsz","4","4","4"),
+    ("zdzh","2","4","4"), ("zsch","4","4","4"), ("chs","5","54","54"),
+    ("csz","4","4","4"), ("czs","4","4","4"), ("drz","4","4","4"),
+    ("drs","4","4","4"), ("dsh","4","4","4"), ("dsz","4","4","4"),
+    ("dzh","4","4","4"), ("dzs","4","4","4"), ("sch","4","4","4"),
+    ("sht","2","43","43"), ("szt","2","43","43"), ("shd","2","43","43"),
+    ("szd","2","43","43"), ("tch","4","4","4"), ("trz","4","4","4"),
+    ("trs","4","4","4"), ("tsh","4","4","4"), ("tts","4","4","4"),
+    ("ttz","4","4","4"), ("tzs","4","4","4"), ("tsz","4","4","4"),
+    ("zdz","2","4","4"), ("zhd","2","43","43"), ("zsh","4","4","4"),
+    ("ai","0","1",""), ("aj","0","1",""), ("ay","0","1",""),
+    ("au","0","7",""), ("cz","4","4","4"), ("cs","4","4","4"),
+    ("ds","4","4","4"), ("dz","4","4","4"), ("dt","3","3","3"),
+    ("ei","0","1",""), ("ej","0","1",""), ("ey","0","1",""),
+    ("eu","1","1",""), ("fb","7","7","7"), ("ia","1","",""),
+    ("ie","1","",""), ("io","1","",""), ("iu","1","",""),
+    ("ks","5","54","54"), ("kh","5","5","5"), ("mn","66","66","66"),
+    ("nm","66","66","66"), ("oi","0","1",""), ("oj","0","1",""),
+    ("oy","0","1",""), ("pf","7","7","7"), ("ph","7","7","7"),
+    ("sh","4","4","4"), ("sc","2","4","4"), ("st","2","43","43"),
+    ("sd","2","43","43"), ("sz","4","4","4"), ("th","3","3","3"),
+    ("ts","4","4","4"), ("tc","4","4","4"), ("tz","4","4","4"),
+    ("ui","0","1",""), ("uj","0","1",""), ("uy","0","1",""),
+    ("ue","0","1",""), ("zd","2","43","43"), ("zh","4","4","4"),
+    ("zs","4","4","4"), ("c","4|5","4|5","4|5"), ("ch","4|5","4|5","4|5"),
+    ("ck","5|45","5|45","5|45"), ("rs","4|94","4|94","4|94"), ("rz","4|94","4|94","4|94"),
+    ("j","1|4","|4","|4")
+)
+
+  private final val DmFoldings: Map[Char, Char] = Map('ß'->'s', 'à'->'a', 'á'->'a', 'â'->'a', 'ã'->'a', 'ä'->'a', 'å'->'a', 'æ'->'a', 'ç'->'c', 'è'->'e', 'é'->'e', 'ê'->'e', 'ë'->'e', 'ì'->'i', 'í'->'i', 'î'->'i', 'ï'->'i', 'ð'->'d', 'ñ'->'n', 'ò'->'o', 'ó'->'o', 'ô'->'o', 'õ'->'o', 'ö'->'o', 'ø'->'o', 'ù'->'u', 'ú'->'u', 'û'->'u', 'ý'->'y', 'þ'->'b', 'ÿ'->'y', 'ć'->'c', 'ł'->'l', 'ś'->'s', 'ż'->'z', 'ź'->'z')
+
+  /** Rules grouped by first char, longest pattern first (the matcher takes
+    * the first — i.e. longest — match at each position).
+    */
+  private final val DmRules: Map[Char, Array[(String, Array[String], Array[String], Array[String])]] =
+    DmRuleTable
+      .map { case (p, s, v, o) =>
+        // split keeps empty alternatives: "|6" -> ["", "6"]
+        def alts(x: String) = x.split("\\|", -1)
+        (p, alts(s), alts(v), alts(o))
+      }
+      .groupBy(_._1.charAt(0))
+      .map { case (c, rs) => c -> rs.sortBy(-_._1.length) }
+
+  private final val DmMaxLength = 6
+
+  /** One accumulating code branch: capped at 6 digits, with the adjacent-
+    * duplicate rule (a replacement equal to the tail of the previous one is
+    * dropped unless forced by an m-n / n-m boundary).
+    */
+  private final class DmBranch(val sb: java.lang.StringBuilder, var lastRepl: String) {
+    def fork(): DmBranch = new DmBranch(new java.lang.StringBuilder(sb), lastRepl)
+    def add(replacement: String, force: Boolean): Unit = {
+      val append = lastRepl == null || !lastRepl.endsWith(replacement) || force
+      if (append && sb.length < DmMaxLength) {
+        sb.append(replacement)
+        if (sb.length > DmMaxLength) sb.setLength(DmMaxLength)
+      }
+      lastRepl = replacement
+    }
+    def finished: String = {
+      while (sb.length < DmMaxLength) sb.append('0')
+      sb.toString
+    }
+  }
+
+  private def dmBranches(term: String, branching: Boolean): Array[String] = {
+    // cleanup: drop whitespace, lowercase, apply ASCII foldings
+    val in = {
+      val sb = new java.lang.StringBuilder(term.length)
+      term.foreach { c0 =>
+        if (!Character.isWhitespace(c0)) {
+          val lc = Character.toLowerCase(c0)
+          sb.append(DmFoldings.getOrElse(lc, lc))
+        }
+      }
+      sb.toString
+    }
+    var branches = scala.collection.mutable.ArrayBuffer(
+      new DmBranch(new java.lang.StringBuilder, null))
+    var lastChar = '\u0000'
+    var index = 0
+    while (index < in.length) {
+      val ch = in.charAt(index)
+      DmRules.get(ch) match {
+        case None => // unmapped char: skip without updating lastChar
+        case Some(rules) =>
+          val context = in.substring(index)
+          val hit = rules.find(r => context.startsWith(r._1))
+          hit.foreach { case (pat, atStart, beforeVowel, default) =>
+            val repls =
+              if (lastChar == '\u0000') atStart
+              else {
+                val nextIsVowel = pat.length < context.length &&
+                  "aeiou".indexOf(context.charAt(pat.length)) >= 0
+                if (nextIsVowel) beforeVowel else default
+              }
+            val force = (lastChar == 'm' && ch == 'n') || (lastChar == 'n' && ch == 'm')
+            if (branching) {
+              // fork per alternative; dedupe by code content (branches can
+              // also converge on the 6-digit cap with a single alternative)
+              val next = scala.collection.mutable.ArrayBuffer.empty[DmBranch]
+              val seen = scala.collection.mutable.HashSet.empty[String]
+              branches.foreach { b =>
+                repls.foreach { r =>
+                  val nb = if (repls.length > 1) b.fork() else b
+                  nb.add(r, force)
+                  if (seen.add(nb.sb.toString)) next += nb
+                }
+              }
+              branches = next
+            } else {
+              branches.foreach(_.add(repls(0), force))
+            }
+            index += pat.length - 1
+          }
+          lastChar = ch
+      }
+      index += 1
+    }
+    branches.map(_.finished).toArray
+  }
+
+  /** Daitch-Mokotoff Soundex (Mokotoff 1985, the Jewish-genealogy soundex;
+    * reference .../Language/DaitchMokotoffSoundex.cs over dmrules.txt):
+    * branching form — all 6-digit codes joined by '|'
+    * ("AUERBACH" -> "097400|097500").
+    */
+  def daitchMokotoff(term: String): String =
+    if (term == null) "" else dmBranches(term, branching = true).mkString("|")
+
+  /** Non-branching Daitch-Mokotoff: the single code taking the first
+    * alternative of every branching rule ("AUERBACH" -> "097400").
+    */
+  def daitchMokotoffEncode(term: String): String =
+    if (term == null) "" else dmBranches(term, branching = false)(0)
 }

@@ -460,7 +460,13 @@ object Gate {
     ("mra_cmp", "smith|smyth", "true"), ("mra_cmp", "Catherine|Kathryn", "true"),
     ("mra_cmp", "Burns|Bourne", "true"), ("mra_cmp", "Micky|Michael", "true"),
     ("mra_cmp", "Karl|Alessandro", "false"), ("mra_cmp", "Al|Ed", "false"),
-    ("mra_cmp", "Peterson|Peters", "true"), ("mra_cmp", "LIPSHITZ|LIPPSZYC", "true"))
+    ("mra_cmp", "Peterson|Peters", "true"), ("mra_cmp", "LIPSHITZ|LIPPSZYC", "true"),
+    ("dm", "GERSCHFELD", "547830|545783|594783|594578"),
+    ("dm", "AUERBACH", "097400|097500"), ("dm", "Mannheim", "665600"),
+    ("dm", "Kleinmann", "586660"), ("dm", "Peterson", "734600|739460"),
+    ("dm", "Ceniow", "467000|567000"), ("dm", "Holubica", "587400|587500"),
+    ("dm", "Przemysl", "746480|794648"), ("dm", "Moskowitz", "645740"),
+    ("dm", "Jackson", "154600|145460|454600|445460"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- index validation (termdict / norms / stats / postings content) ----
@@ -1144,8 +1150,8 @@ object Gate {
         .orderBy("word")
     }),
     "text_phonetic" -> ((s, d) => {
-      // NYSIIS (relaxed), RefinedSoundex, Caverphone 2.0, Kölner Phonetik
-      // and MatchRatingApproach encode+compare (reference
+      // NYSIIS (relaxed), RefinedSoundex, Caverphone 2.0, Kölner Phonetik,
+      // Daitch-Mokotoff and MatchRatingApproach encode+compare (reference
       // Lucene.Net.Analysis.Phonetic/Language/*.cs via the encoder-generic
       // PhoneticFilter seam): the
       // engine re-derives every key DISTRIBUTED via the same
@@ -1160,6 +1166,7 @@ object Gate {
               case "nysiis"  => PE.nysiis(_, strict = false)
               case "refined" => PE.refinedSoundex
               case "cologne" => PE.cologne
+              case "dm"      => PE.daitchMokotoff
               case "mra"     => PE.mra
               case "mra_cmp" => w => {
                 val Array(a, b) = w.split('|'); PE.mraEquals(a, b).toString
@@ -1853,7 +1860,10 @@ object Gate {
     * (the "trained on a sample" stand-in; a production build k-means-trains
     * them, the plumbing is identical). Cached per (session, sf) — the
     * centroid table is the quantizer MODEL, loaded once at serving start,
-    * not re-collected per query (weakly keyed like [[sessionCache]]).
+    * not re-collected per query. Unlike [[relations]] (whose DataFrame
+    * values pin their session, forcing explicit eviction), these values are
+    * plain arrays with no back-reference, so weak keying genuinely reclaims
+    * entries after a session is collected.
     */
   private val centroids =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Double])]]]()

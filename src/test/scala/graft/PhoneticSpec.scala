@@ -205,6 +205,47 @@ class PhoneticSpec extends AnyFunSuite {
       !mraEquals(null, " "))
   }
 
+  test("daitch-mokotoff: reference vectors (DaitchMokotoffSoundexTest.cs)") {
+    import graft.analysis.PhoneticEncoders.{daitchMokotoff => dm, daitchMokotoffEncode => dmEnc}
+    // accented / special characters fold
+    assert(dm("Straßburg") == "294795" && dm("Strasburg") == "294795")
+    assert(dm("Éregon") == "095600" && dm("Eregon") == "095600")
+    assert(dm("AKSSOL") == "054800")
+    assert(dm("GERSCHFELD") == "547830|545783|594783|594578")
+    // non-branching Encode takes the first alternative everywhere
+    assert(dmEnc("AUERBACH") == "097400" && dmEnc("OHRBACH") == "097400")
+    assert(dmEnc("LIPSHITZ") == "874400" && dmEnc("LIPPSZYC") == "874400")
+    assert(dmEnc("LEWINSKY") == "876450" && dmEnc("LEVINSKI") == "876450")
+    assert(dmEnc("SZLAMAWICZ") == "486740" && dmEnc("SHLAMOVITZ") == "486740")
+    assert(dmEnc(" \t\n\r Washington \t\n\r ") == "746536" &&
+      dmEnc("Washington") == "746536")
+    // branching examples from the published D-M description
+    assert(dm("GOLDEN") == "583600" && dm("Alpert") == "087930")
+    assert(dm("Breuer") == "791900" && dm("Haber") == "579000")
+    assert(dm("Mannheim") == "665600" && dm("Mintz") == "664000")
+    assert(dm("Topf") == "370000" && dm("Kleinmann") == "586660")
+    assert(dm("Ben Aron") == "769600")
+    assert(dm("AUERBACH") == "097400|097500")
+    assert(dm("OHRBACH") == "097400|097500")
+    assert(dm("LIPSHITZ") == "874400")
+    assert(dm("LIPPSZYC") == "874400|874500")
+    assert(dm("LEWINSKY") == "876450" && dm("LEVINSKI") == "876450")
+    assert(dm("SZLAMAWICZ") == "486740" && dm("SHLAMOVITZ") == "486740")
+    assert(dm("Ceniow") == "467000|567000" && dm("Tsenyuv") == "467000")
+    assert(dm("Holubica") == "587400|587500" && dm("Golubitsa") == "587400")
+    assert(dm("Przemysl") == "746480|794648" && dm("Pshemeshil") == "746480")
+    assert(dm("Rosochowaciec") ==
+      "944744|944745|944754|944755|945744|945745|945754|945755")
+    assert(dm("Rosokhovatsets") == "945744")
+    assert(dm("Peters") == "734000|739400" && dm("Peterson") == "734600|739460")
+    assert(dm("Moskowitz") == "645740" && dm("Moskovitz") == "645740")
+    assert(dm("Jackson") == "154600|145460|454600|445460")
+    assert(dm("Jackson-Jackson") ==
+      "154654|154645|154644|145465|145464|454654|454645|454644|445465|445464")
+    assert(dm("ţamas") == "364000|464000") // Romanian t-cedilla branches
+    assert(dm(null) == "" && dmEnc(null) == "" && dm("") == "000000")
+  }
+
   test("phonetic filter: pluggable encoder seam") {
     import graft.analysis.PhoneticEncoders
     val terms = Array("Stevenson", "Peter")
