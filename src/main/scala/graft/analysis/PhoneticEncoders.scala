@@ -479,4 +479,140 @@ object PhoneticEncoders {
     */
   def daitchMokotoffEncode(term: String): String =
     if (term == null) "" else dmBranches(term, branching = false)(0)
+
+  // ------------------------------------------------------------ Caverphone 1
+
+  /** The original Caverphone 1.0 pipeline (Caversham Project, Otago, 2002
+    * spec ctp060902; reference .../Language/Caverphone1.cs): same
+    * rewrite-pipeline shape as [[caverphone2]] but no trailing-e drop, no
+    * trough/final-vowel rules, 'wy'/'why'/'ry'/'ly' variants, j/y handled
+    * late, and a SIX-character '1'-padded code.
+    */
+  private final val Caver1Rules: Array[(java.util.regex.Pattern, String)] = Array(
+    "^cough" -> "cou2f", "^rough" -> "rou2f", "^tough" -> "tou2f",
+    "^enough" -> "enou2f", "^gn" -> "2n", "mb$" -> "m2",
+    "cq" -> "2q", "ci" -> "si", "ce" -> "se", "cy" -> "sy", "tch" -> "2ch",
+    "c" -> "k", "q" -> "k", "x" -> "k", "v" -> "f", "dg" -> "2g",
+    "tio" -> "sio", "tia" -> "sia", "d" -> "t", "ph" -> "fh", "b" -> "p",
+    "sh" -> "s2", "z" -> "s", "^[aeiou]" -> "A", "[aeiou]" -> "3",
+    "3gh3" -> "3kh3", "gh" -> "22", "g" -> "k", "s+" -> "S", "t+" -> "T",
+    "p+" -> "P", "k+" -> "K", "f+" -> "F", "m+" -> "M", "n+" -> "N",
+    "w3" -> "W3", "wy" -> "Wy", "wh3" -> "Wh3", "why" -> "Why", "w" -> "2",
+    "^h" -> "A", "h" -> "2", "r3" -> "R3", "ry" -> "Ry", "r" -> "2",
+    "l3" -> "L3", "ly" -> "Ly", "l" -> "2", "j" -> "y", "y3" -> "Y3",
+    "y" -> "2", "2" -> "", "3" -> ""
+  ).map { case (p, r) => (java.util.regex.Pattern.compile(p), r) }
+
+  private final val Caver1Pad = "111111"
+
+  /** Caverphone 1.0 code: always exactly 6 characters, '1'-padded
+    * ("David" -> "TFT111", "Whittle" -> "WTL111").
+    */
+  def caverphone1(term: String): String = {
+    if (term == null) return Caver1Pad
+    var t = term.toLowerCase(java.util.Locale.ENGLISH).replaceAll("[^a-z]", "")
+    var i = 0
+    while (i < Caver1Rules.length) {
+      val (p, r) = Caver1Rules(i)
+      t = p.matcher(t).replaceAll(r)
+      i += 1
+    }
+    (t + Caver1Pad).substring(0, Caver1Pad.length)
+  }
+
+  // --------------------------------------------------------------- Metaphone
+
+  private final val MetaFrontV = "EIY"   // letters that soften a preceding C/G
+  private final val MetaVarson = "CSPTG" // letters that swallow a following H
+
+  /** Original Metaphone (Lawrence Philips, "Hanging on the Metaphone",
+    * Computer Language Dec. 1990; commons-codec rule set as carried by the
+    * reference's .../Language/Metaphone.cs — NOT the PHP/Perl variants):
+    * 4-char cap, TH->0, X->KS, CIA/SH/SIO/SIA/TIA/TIO->X, soft C/G->S/J,
+    * silent initial KN/GN/PN/WR/AE, silent GH/MB$/TCH-T. Input is expected
+    * to be a single A-Z word (the analyzer chain guarantees that).
+    */
+  def metaphone(term: String, maxCodeLen: Int = 4): String = {
+    if (term == null || term.isEmpty) return ""
+    if (term.length == 1) return term.toUpperCase(java.util.Locale.ENGLISH)
+    val up = term.toUpperCase(java.util.Locale.ENGLISH)
+
+    // initial-pair exceptions
+    val w: String = up.charAt(0) match {
+      case 'K' | 'G' | 'P' => if (up.charAt(1) == 'N') up.substring(1) else up
+      case 'A'             => if (up.charAt(1) == 'E') up.substring(1) else up
+      case 'W' =>
+        if (up.charAt(1) == 'R') up.substring(1)              // WR -> R
+        else if (up.charAt(1) == 'H') "W" + up.substring(2)   // WH -> W
+        else up
+      case 'X'             => "S" + up.substring(1)           // initial X -> S
+      case _               => up
+    }
+
+    val sz = w.length
+    def at(i: Int): Char = if (i >= 0 && i < sz) w.charAt(i) else ' '
+    def vowelAt(i: Int): Boolean = isVowel(at(i))
+    def last(i: Int): Boolean = i + 1 == sz
+    def region(i: Int, pat: String): Boolean =
+      i + pat.length <= sz && w.regionMatches(i, pat, 0, pat.length)
+
+    val code = new StringBuilder(maxCodeLen + 2)
+    var n = 0
+    while (code.length < maxCodeLen && n < sz) {
+      val c = at(n)
+      if (c != 'C' && n > 0 && at(n - 1) == c) n += 1 // dedupe (except C)
+      else {
+        c match {
+          case 'A' | 'E' | 'I' | 'O' | 'U' =>
+            if (n == 0) code.append(c) // vowels only lead
+          case 'B' =>
+            if (!(at(n - 1) == 'M' && last(n))) code.append('B') // silent MB$
+          case 'C' =>
+            if (at(n - 1) == 'S' && !last(n) && MetaFrontV.indexOf(at(n + 1)) >= 0) ()
+            else if (region(n, "CIA")) code.append('X')
+            else if (!last(n) && MetaFrontV.indexOf(at(n + 1)) >= 0) code.append('S')
+            else if (at(n - 1) == 'S' && at(n + 1) == 'H') code.append('K') // SCH
+            else if (at(n + 1) == 'H')
+              code.append(if (n == 0 && sz >= 3 && vowelAt(2)) 'K' else 'X')
+            else code.append('K')
+          case 'D' =>
+            if (n + 2 < sz && at(n + 1) == 'G' && MetaFrontV.indexOf(at(n + 2)) >= 0) {
+              code.append('J'); n += 2
+            } else code.append('T')
+          case 'G' =>
+            val ghTerminal = last(n + 1) && at(n + 1) == 'H'
+            val ghConsonant = !last(n + 1) && at(n + 1) == 'H' && !vowelAt(n + 2)
+            val silentGn = n > 0 && (region(n, "GN") || region(n, "GNED"))
+            if (!ghTerminal && !ghConsonant && !silentGn) {
+              if (!last(n) && MetaFrontV.indexOf(at(n + 1)) >= 0 && at(n - 1) != 'G')
+                code.append('J')
+              else code.append('K')
+            }
+          case 'H' =>
+            if (!last(n) && !(n > 0 && MetaVarson.indexOf(at(n - 1)) >= 0) && vowelAt(n + 1))
+              code.append('H')
+          case 'F' | 'J' | 'L' | 'M' | 'N' | 'R' => code.append(c)
+          case 'K' => if (n == 0 || at(n - 1) != 'C') code.append('K')
+          case 'P' => code.append(if (at(n + 1) == 'H') 'F' else 'P')
+          case 'Q' => code.append('K')
+          case 'S' =>
+            if (region(n, "SH") || region(n, "SIO") || region(n, "SIA")) code.append('X')
+            else code.append('S')
+          case 'T' =>
+            if (region(n, "TIA") || region(n, "TIO")) code.append('X')
+            else if (region(n, "TCH")) () // silent T in TCH
+            else if (region(n, "TH")) code.append('0') // theta
+            else code.append('T')
+          case 'V' => code.append('F')
+          case 'W' | 'Y' => if (!last(n) && vowelAt(n + 1)) code.append(c)
+          case 'X' => code.append('K').append('S')
+          case 'Z' => code.append('S')
+          case _   => () // non-letters contribute nothing
+        }
+        n += 1
+      }
+      if (code.length > maxCodeLen) code.length_=(maxCodeLen)
+    }
+    code.toString
+  }
 }

@@ -466,7 +466,17 @@ object Gate {
     ("dm", "Kleinmann", "586660"), ("dm", "Peterson", "734600|739460"),
     ("dm", "Ceniow", "467000|567000"), ("dm", "Holubica", "587400|587500"),
     ("dm", "Przemysl", "746480|794648"), ("dm", "Moskowitz", "645740"),
-    ("dm", "Jackson", "154600|145460|454600|445460"))
+    ("dm", "Jackson", "154600|145460|454600|445460"),
+    ("metaphone", "howl", "HL"), ("metaphone", "testing", "TSTN"),
+    ("metaphone", "The", "0"), ("metaphone", "quick", "KK"),
+    ("metaphone", "brown", "BRN"), ("metaphone", "fox", "FKS"),
+    ("metaphone", "jumped", "JMPT"), ("metaphone", "over", "OFR"),
+    ("metaphone", "lazy", "LS"), ("metaphone", "dogs", "TKS"),
+    ("metaphone", "SCHEDULE", "SKTL"), ("metaphone", "CHARACTER", "KRKT"),
+    ("caver1", "David", "TFT111"), ("caver1", "Whittle", "WTL111"),
+    ("caver1", "Lee", "L11111"), ("caver1", "Thompson", "TMPSN1"),
+    ("caver1", "mb", "M11111"), ("caver1", "mbmb", "MPM111"),
+    ("caver1", "at", "AT1111"), ("caver1", "earth", "AT1111"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- index validation (termdict / norms / stats / postings content) ----
@@ -1150,8 +1160,9 @@ object Gate {
         .orderBy("word")
     }),
     "text_phonetic" -> ((s, d) => {
-      // NYSIIS (relaxed), RefinedSoundex, Caverphone 2.0, Kölner Phonetik,
-      // Daitch-Mokotoff and MatchRatingApproach encode+compare (reference
+      // NYSIIS (relaxed), RefinedSoundex, Caverphone 1.0 + 2.0, Kölner
+      // Phonetik, Daitch-Mokotoff, original Metaphone and
+      // MatchRatingApproach encode+compare (reference
       // Lucene.Net.Analysis.Phonetic/Language/*.cs via the encoder-generic
       // PhoneticFilter seam): the
       // engine re-derives every key DISTRIBUTED via the same
@@ -1167,6 +1178,8 @@ object Gate {
               case "refined" => PE.refinedSoundex
               case "cologne" => PE.cologne
               case "dm"      => PE.daitchMokotoff
+              case "metaphone" => PE.metaphone(_)
+              case "caver1"  => PE.caverphone1
               case "mra"     => PE.mra
               case "mra_cmp" => w => {
                 val Array(a, b) = w.split('|'); PE.mraEquals(a, b).toString

@@ -246,6 +246,69 @@ class PhoneticSpec extends AnyFunSuite {
     assert(dm(null) == "" && dmEnc(null) == "" && dm("") == "000000")
   }
 
+  test("metaphone: reference vectors (MetaphoneTest.cs)") {
+    import graft.analysis.PhoneticEncoders.metaphone
+    // word slate (TestMetaphone)
+    assert(metaphone("howl") == "HL" && metaphone("testing") == "TSTN")
+    assert(metaphone("The") == "0" && metaphone("quick") == "KK")
+    assert(metaphone("brown") == "BRN" && metaphone("fox") == "FKS")
+    assert(metaphone("jumped") == "JMPT" && metaphone("over") == "OFR")
+    assert(metaphone("the") == "0" && metaphone("lazy") == "LS")
+    assert(metaphone("dogs") == "TKS")
+    // consonant special cases
+    assert(metaphone("COMB") == "KM" && metaphone("TOMB") == "TM" &&
+      metaphone("WOMB") == "WM") // silent MB$
+    assert(metaphone("SCIENCE") == "SNS" && metaphone("SCENE") == "SN" &&
+      metaphone("SCY") == "S") // SCI/SCE/SCY discard C
+    assert(metaphone("WHY") == "") // WH -> W, Y silent before non-vowel
+    assert(metaphone("CIAPO") == "XP") // CIA -> X
+    assert(metaphone("SCHEDULE") == "SKTL" && metaphone("SCHEMATIC") == "SKMT") // SCH -> SK
+    assert(metaphone("CHARACTER") == "KRKT" && metaphone("TEACH") == "TX") // CH
+    assert(metaphone("DODGY") == "TJ" && metaphone("DODGE") == "TJ" &&
+      metaphone("ADGIEMTI") == "AJMT") // DGE/DGI/DGY -> J
+    assert(metaphone("GHENT") == "KNT" && metaphone("BAUGH") == "B") // GH
+    assert(metaphone("GNU") == "N" && metaphone("SIGNED") == "SNT") // silent GN
+    assert(metaphone("PHISH") == "FX") // PH -> F
+    assert(metaphone("SHOT") == "XT" && metaphone("ODSIAN") == "OTXN" &&
+      metaphone("PULSION") == "PLXN") // SH/SIO/SIA -> X
+    assert(metaphone("OTIA") == "OX" && metaphone("PORTION") == "PRXN") // TIA/TIO -> X
+    assert(metaphone("RETCH") == "RX" && metaphone("WATCH") == "WX") // silent TCH-T
+    assert(metaphone("AXEAXE") == "AKSK") // X -> KS, 4-char cap
+    assert(metaphone("AXEAXEAXE", maxCodeLen = 6) == "AKSKSK") // SetMaxLengthWithTruncation
+    // IsMetaphoneEqual slates (equal codes)
+    def eq(a: String, b: String) = metaphone(a) == metaphone(b)
+    assert(eq("Case", "case") && eq("CASE", "Case") && eq("caSe", "cAsE") &&
+      eq("quick", "cookie") && eq("Lawrence", "Lorenza") && eq("Gary", "Cahra"))
+    assert(Seq("Eure").forall(eq("Aero", _))) // initial AE
+    assert(Seq("Wade", "Wait", "Waite", "Wat", "Whit", "Wiatt", "Wit", "Wittie",
+      "Witty", "Wood", "Woodie", "Woody").forall(eq("White", _))) // initial WH
+    assert(Seq("Ailbert", "Alberik", "Albert", "Alberto", "Albrecht")
+      .forall(eq("Albert", _)))
+    assert(Seq("Cahra", "Cara", "Carey", "Cari", "Caria", "Carie", "Caro",
+      "Carree", "Carri", "Carrie", "Carry", "Cary", "Cora", "Corey", "Cori",
+      "Corie", "Correy", "Corri", "Corrie", "Corry", "Cory", "Gray", "Kara",
+      "Kare", "Karee", "Kari", "Karia", "Karie", "Karrah", "Karrie", "Karry",
+      "Kary", "Keri", "Kerri", "Kerrie", "Kerry", "Kira", "Kiri", "Kora",
+      "Kore", "Kori", "Korie", "Korrie", "Korry").forall(eq("Gary", _)))
+    assert(metaphone(null) == "" && metaphone("") == "" && metaphone("a") == "A")
+  }
+
+  test("caverphone 1.0: reference vectors (Caverphone1Test.cs)") {
+    import graft.analysis.PhoneticEncoders.caverphone1
+    // common-code AT1111 slate
+    Seq("add", "aid", "at", "art", "eat", "earth", "head", "hit", "hot",
+      "hold", "hard", "heart", "it", "out", "old").foreach { w =>
+      assert(caverphone1(w) == "AT1111", s"caverphone1($w)")
+    }
+    assert(caverphone1("mb") == "M11111" && caverphone1("mbmb") == "MPM111")
+    assert(caverphone1("David") == "TFT111" && caverphone1("Whittle") == "WTL111")
+    assert(caverphone1("Lee") == "L11111" && caverphone1("Thompson") == "TMPSN1")
+    // IsEncodeEqual pairs
+    assert(caverphone1("Peter") == caverphone1("Peady"))
+    assert(caverphone1("Peter") != caverphone1("Stevenson"))
+    assert(caverphone1(null) == "111111" && caverphone1("") == "111111")
+  }
+
   test("phonetic filter: pluggable encoder seam") {
     import graft.analysis.PhoneticEncoders
     val terms = Array("Stevenson", "Peter")
