@@ -1,0 +1,149 @@
+package graft
+
+import graft.fixtures.Transcripts
+import graft.oracle.BruteForce
+import graft.query.{Query, Searcher}
+import graft.streaming.{SegmentedSearcher, SnapshotLog, StreamingIndexer}
+import graft.verify.IndexVerifier
+import java.nio.file.Files
+import scala.util.Random
+
+/** One-off model-based streaming ops hunt (dev main, not part of the suite):
+  * random interleavings of append / deleteByTerm / deleteDocs /
+  * updateDocuments / compact — including MIXED positional and DOCS_AND_FREQS
+  * segments in one index — against an in-memory live-doc model whose term
+  * matching is the committed BruteForce oracle. Id-set equality is checked
+  * after every op; after the final compact, (id, score) bit-identity vs the
+  * oracle over exactly the surviving docs.
+  */
+object DevStreamHunt {
+  private val vocab = Vector("time", "person", "year", "way", "day", "world",
+    "life", "hand", "part", "people", "thing")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+
+    val pool = Transcripts.local(400).sortBy(t => (t.conv_id, t.turn_idx))
+    var fails = 0
+
+    def check(label: String, cond: Boolean, detail: => String): Unit =
+      if (!cond) { fails += 1; println(s"STREAM-DIVERGE $label: $detail") }
+
+    def runSeq(seed: Long, mixedPositions: Boolean, phraseProbes: Boolean): Unit = {
+      val rnd = new Random(seed)
+      val dir = Files.createTempDirectory(s"graft_stream_hunt_$seed").toString
+      // model state: live docs and the monotone id high-water
+      var live = Vector.empty[(Long, String)]
+      var nextId = 0L
+      var cursor = 0
+      var replN = 0
+
+      def oracle = new BruteForce(live)
+      def modelMatches(q: Query): Set[Long] =
+        if (live.isEmpty) Set.empty
+        else oracle.search(q, live.size).map(_._1).toSet
+
+      def appendChunk(n: Int): Unit = {
+        val chunk = pool.slice(cursor, cursor + n)
+        cursor += chunk.size
+        if (chunk.isEmpty) return
+        val positions = !mixedPositions || rnd.nextBoolean()
+        StreamingIndexer.appendSegment(spark.createDataset(chunk), dir,
+          autoCompact = false, positions = positions)
+        val sorted = chunk.sortBy(t => (t.conv_id, t.turn_idx))
+        live ++= sorted.zipWithIndex.map { case (t, i) => (nextId + i, t.text) }
+        nextId += sorted.size
+      }
+
+      def doUpdate(term: String): Unit = {
+        replN += 1
+        val repl = (0 until (1 + rnd.nextInt(3))).map { i =>
+          pool.head.copy(conv_id = f"zzz-upd-$replN%04d", turn_idx = i,
+            text = s"replacement about ${vocab(rnd.nextInt(vocab.size))} and " +
+              s"${vocab(rnd.nextInt(vocab.size))} marker$replN")
+        }
+        val deadIds = modelMatches(Query.Term(term))
+        StreamingIndexer.updateDocuments(spark.createDataset(repl), dir, term)
+        live = live.filterNot(d => deadIds.contains(d._1))
+        val sorted = repl.sortBy(t => (t.conv_id, t.turn_idx))
+        live ++= sorted.zipWithIndex.map { case (t, i) => (nextId + i, t.text) }
+        nextId += sorted.size
+      }
+
+      def probe(tag: String): Unit = {
+        if (live.isEmpty) return
+        val seg = new SegmentedSearcher(spark, dir)
+        val k = live.size + 10
+        val qs = Seq(
+          Query.Term(vocab(rnd.nextInt(vocab.size))),
+          Query.Bool(must = Seq(vocab(rnd.nextInt(vocab.size))),
+            should = Seq(vocab(rnd.nextInt(vocab.size))), mustNot = Nil, minShouldMatch = 0),
+          Query.Bool(must = Nil,
+            should = Seq(vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size))),
+            mustNot = Seq(vocab(rnd.nextInt(vocab.size))), minShouldMatch = 0)) ++
+          (if (phraseProbes) Seq(Query.Phrase(Seq("time", "person"), 1 + rnd.nextInt(2)))
+           else Nil)
+        qs.foreach { q =>
+          val got = seg.search(q, k).collect().map(_.getLong(0)).toSet
+          val want = modelMatches(q)
+          check(s"$tag/$q", got == want,
+            s"engine-only=${(got -- want).take(5)} model-only=${(want -- got).take(5)} " +
+              s"(engine=${got.size} model=${want.size} live=${live.size})")
+        }
+      }
+
+      appendChunk(40 + rnd.nextInt(40))
+      val ops = 12
+      (1 to ops).foreach { i =>
+        rnd.nextInt(6) match {
+          case 0 => appendChunk(10 + rnd.nextInt(30))
+          case 1 =>
+            val t = if (rnd.nextInt(5) == 0) "zzznope" else vocab(rnd.nextInt(vocab.size))
+            val dead = modelMatches(Query.Term(t))
+            StreamingIndexer.deleteByTerm(spark, dir, t)
+            live = live.filterNot(d => dead.contains(d._1))
+          case 2 if live.nonEmpty =>
+            // random ids, some possibly already dead (re-tombstone must be benign)
+            val ids = Seq.fill(1 + rnd.nextInt(6))(rnd.nextLong(nextId).max(0L)).distinct
+            StreamingIndexer.deleteDocs(spark, dir, ids)
+            live = live.filterNot(d => ids.contains(d._1))
+          case 3 => doUpdate(vocab(rnd.nextInt(vocab.size)))
+          case 4 if new SnapshotLog(dir, spark).latest().exists(_.segments.nonEmpty) =>
+            StreamingIndexer.compact(spark, dir)
+          case _ => appendChunk(5 + rnd.nextInt(10))
+        }
+        probe(s"seed$seed/op$i")
+      }
+      // final compact; verify the base, then score-level bit-identity
+      if (new SnapshotLog(dir, spark).latest().exists(s => s.segments.nonEmpty || s.tombs.nonEmpty))
+        StreamingIndexer.compact(spark, dir)
+      val snap = new SnapshotLog(dir, spark).latest().get
+      check(s"seed$seed/final-shape", snap.tombs.isEmpty && snap.segments.isEmpty,
+        s"post-compact snapshot still carries ${snap.segments.size} segs ${snap.tombs.size} tombs")
+      snap.base.foreach { base =>
+        check(s"seed$seed/verify", IndexVerifier.verify(spark, base).isEmpty, "CheckIndex found defects")
+        val s = new Searcher(spark, base)
+        check(s"seed$seed/maxdoc", s.stats.max_doc == live.size,
+          s"stats.max_doc=${s.stats.max_doc} model=${live.size}")
+        val scoreQs = Seq(Query.Term("time"), Query.Term("person"),
+          Query.Bool(must = Seq("year"), should = Seq("way", "day"), mustNot = Nil, minShouldMatch = 0),
+          Query.Bool(must = Nil, should = Seq("world", "life"), mustNot = Seq("hand"), minShouldMatch = 1)) ++
+          (if (phraseProbes) Seq(Query.Phrase(Seq("time", "person"), 1)) else Nil)
+        scoreQs.foreach { q =>
+          val got = s.search(q, 25).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+          val want = oracle.search(q, 25)
+          check(s"seed$seed/final/$q", got == want, s"\n got: $got\nwant: $want")
+        }
+      }
+      println(s"seed=$seed mixed=$mixedPositions done: live=${live.size} nextId=$nextId fails(sofar)=$fails")
+    }
+
+    runSeq(11L, mixedPositions = false, phraseProbes = true)
+    runSeq(22L, mixedPositions = true, phraseProbes = false)
+    runSeq(33L, mixedPositions = false, phraseProbes = true)
+    runSeq(44L, mixedPositions = true, phraseProbes = false)
+    println(s"STREAM_HUNT_RESULT fails=$fails")
+    if (fails > 0) sys.exit(1)
+  }
+}
