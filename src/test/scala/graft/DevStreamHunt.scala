@@ -139,10 +139,12 @@ object DevStreamHunt {
       println(s"seed=$seed mixed=$mixedPositions done: live=${live.size} nextId=$nextId fails(sofar)=$fails")
     }
 
-    runSeq(11L, mixedPositions = false, phraseProbes = true)
-    runSeq(22L, mixedPositions = true, phraseProbes = false)
-    runSeq(33L, mixedPositions = false, phraseProbes = true)
-    runSeq(44L, mixedPositions = true, phraseProbes = false)
+    // optional args: a list of seeds (default 11 22 33 44); even-indexed
+    // seeds run pure-positional with phrase probes, odd-indexed run mixed
+    val seeds = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(11L, 22L, 33L, 44L)
+    seeds.zipWithIndex.foreach { case (s, i) =>
+      runSeq(s, mixedPositions = i % 2 == 1, phraseProbes = i % 2 == 0)
+    }
     println(s"STREAM_HUNT_RESULT fails=$fails")
     if (fails > 0) sys.exit(1)
   }
