@@ -94,10 +94,18 @@ object IndexVerifier {
 
     val perTerm = perBlock.groupBy("term_id")
       .agg(sum("cnt").as("df2"), sum("sum_tf").as("ttf2"))
-    val joined = perTerm.join(termdict, "term_id")
-      .filter(col("df2") =!= col("df") || col("ttf2") =!= col("ttf"))
+    // OUTER join on the termdict side: a term whose posting blocks are ALL
+    // missing must still be flagged (df > 0 vs no postings at all) — an
+    // inner join would silently drop it from the cross-check.
+    val joined = termdict.join(perTerm, Seq("term_id"), "left_outer")
+      .filter(coalesce(col("df2"), lit(0L)) =!= col("df") ||
+        coalesce(col("ttf2"), lit(0L)) =!= col("ttf"))
     val badTerms = joined.count()
     if (badTerms > 0) errs += s"$badTerms terms with df/ttf mismatch between postings and termdict"
+    // the symmetric orphan: posting blocks under a term_id the termdict
+    // doesn't know (CheckIndex rejects postings without a dict entry)
+    val orphans = perTerm.join(termdict.select("term_id"), Seq("term_id"), "left_anti").count()
+    if (orphans > 0) errs += s"$orphans term_ids with postings but no termdict entry"
 
     // Blocks of one term are impact-partitioned (doc ranges MAY overlap) but
     // must still partition the posting set: no doc twice under one term.
