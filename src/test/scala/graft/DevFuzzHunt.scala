@@ -25,7 +25,7 @@ object DevFuzzHunt {
     val wandForced = new WandSearcher(spark, dir,
       seedMinBlocksOpt = Some(0L), maxScoreMinBlocksOpt = Some(0L))
 
-    val rnd = new Random(20260819023L)
+    val rnd = new Random(if (args.nonEmpty) args(0).toLong else 20260819023L)
     val vocab = Vector("time", "person", "year", "way", "day", "spark", "index",
       "search", "query", "merge", "table", "fast", "slow", "people", "thing",
       "world", "life", "hand", "part", "w000123", "w004242", "zzznope")
